@@ -1,0 +1,39 @@
+"""Backend selection policy.
+
+Ordered/halftone/wavelet/none modes always run through JAX (they are fast on
+any XLA backend, including CPU). The error-diffusion family dispatches:
+
+* accelerator (TPU/GPU) + non-serpentine scan  -> Pallas wavefront kernel
+* serpentine, Riemersma, or CPU-only           -> native C++ engine
+* no compiler available                        -> NumPy fallback scan
+
+Override with env var ``DITHER_PIE_TPU_ED_BACKEND`` in {auto, wavefront,
+native} (mainly for tests and benchmarking).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def jax_platform() -> str:
+    import jax
+
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "cpu"
+
+
+def on_accelerator() -> bool:
+    return jax_platform() not in ("cpu",)
+
+
+def ed_backend() -> str:
+    """'wavefront' or 'native' for the error-diffusion family."""
+    forced = os.environ.get("DITHER_PIE_TPU_ED_BACKEND", "auto")
+    if forced in ("wavefront", "native"):
+        return forced
+    return "wavefront" if on_accelerator() else "native"

@@ -1,0 +1,93 @@
+"""On-demand compilation + ctypes bindings for the native ED engine.
+
+Compiles ``ed_scan.cpp`` with g++ on first use into a per-source-hash cached
+shared object (so edits invalidate the cache automatically). No build system
+required at install time; falls back gracefully (``native_available() ->
+False``) when no compiler is present, in which case callers use the slower
+NumPy scan in ``ops/ed_host.py``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "ed_scan.cpp"
+_BUILD_DIR = Path(
+    os.environ.get("DITHER_PIE_TPU_BUILD_DIR", Path(__file__).parent / "_build")
+)
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+
+def _compile() -> Path:
+    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    out = _BUILD_DIR / f"libed_scan_{src_hash}.so"
+    if out.exists():
+        return out
+    _BUILD_DIR.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(".so.tmp")
+    cmd = [
+        "g++",
+        "-O2",
+        "-fPIC",
+        "-shared",
+        # Float determinism: the engine is a golden reference, so no
+        # fast-math / contraction (FMA would change rounding vs NumPy).
+        "-ffp-contract=off",
+        "-fno-fast-math",
+        str(_SRC),
+        "-o",
+        str(tmp),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(tmp, out)
+    return out
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    c_i, c_f = ctypes.c_int, ctypes.c_float
+    lib.ed_fixed.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, _f32p, c_i, c_i]
+    lib.ed_ostromoukhov.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, c_i]
+    lib.ed_hybrid.argtypes = [_f32p, c_i, c_i, _f32p, c_i, c_f, c_f, c_i]
+    lib.ed_perceptual.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _f32p]
+    lib.ed_adaptive.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _u8p]
+    lib.ed_riemersma.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, ctypes.c_int64]
+    for fn in ("ed_fixed", "ed_ostromoukhov", "ed_hybrid", "ed_perceptual",
+               "ed_adaptive", "ed_riemersma"):
+        getattr(lib, fn).restype = None
+    return lib
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The compiled engine, or None if compilation is unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            so = _compile()
+            _lib = _bind(ctypes.CDLL(str(so)))
+        except Exception:
+            _lib = None
+    return _lib
+
+
+def native_available() -> bool:
+    return get_lib() is not None

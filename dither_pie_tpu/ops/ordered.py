@@ -1,0 +1,75 @@
+"""Fused ordered (threshold-screen) dithering.
+
+One kernel serves every matrix-threshold mode in the reference — Bayer, PSX,
+blue-noise, polka-dot (tiled screens), IGN (computed per-pixel screen), and
+the wavelet strategy's final randomized pick (random screen):
+
+    factor = d1^2 / (d1^2 + d2^2)         (top-2 palette distances)
+    out    = palette[ factor <= screen ? nearest : second ]
+
+matching ``MatrixDitherStrategy.dither`` (/root/reference/dithering_lib.py:
+355-378). Everything fuses into a single XLA program per (H, W, P) shape:
+u8 -> f32 cast, MXU distance matmul, two-pass argmin, ratio compare, gather,
+u8 cast. No host round trips.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dither_pie_tpu.core.distance import distance_ratio_factor, top2_palette
+
+
+def tile_screen_device(matrix: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Tile a (th, tw) threshold matrix over an (h, w) canvas on device."""
+    th, tw = matrix.shape
+    rows = jnp.arange(h) % th
+    cols = jnp.arange(w) % tw
+    return matrix[rows][:, cols]
+
+
+@functools.partial(jax.jit, static_argnames=("exact_f64",))
+def ordered_dither(
+    image: jnp.ndarray,
+    palette: jnp.ndarray,
+    screen: jnp.ndarray,
+    exact_f64: bool = False,
+) -> jnp.ndarray:
+    """Ordered-dither an (H, W, 3) image against an (H, W) threshold screen.
+
+    ``image``: uint8 or integer-valued float32, (H, W, 3).
+    ``palette``: (P, 3) float32, P >= 2.
+    ``screen``: (H, W) float32 thresholds in [0, 1].
+    Returns (H, W, 3) uint8 of palette colors.
+    """
+    h, w, _ = image.shape
+    px = image.reshape(-1, 3).astype(jnp.float32)
+    d1, d2, i1, i2 = top2_palette(px, palette)
+    factor = distance_ratio_factor(d1, d2, exact_f64=exact_f64)
+    thr = screen.reshape(-1)
+    if exact_f64:
+        thr = thr.astype(jnp.float64)
+    use_nearest = factor <= thr
+    idx = jnp.where(use_nearest, i1, i2)
+    out = jnp.take(palette, idx, axis=0)
+    return out.reshape(h, w, 3).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("exact_f64",))
+def ordered_dither_batch(
+    images: jnp.ndarray,
+    palette: jnp.ndarray,
+    screen: jnp.ndarray,
+    exact_f64: bool = False,
+) -> jnp.ndarray:
+    """Batched ordered dither: (B, H, W, 3) with one shared (H, W) screen."""
+    return jax.vmap(lambda im: ordered_dither(im, palette, screen, exact_f64))(images)
+
+
+def screen_for_matrix(matrix: np.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Host helper: tiled device screen from a small host matrix."""
+    return tile_screen_device(jnp.asarray(matrix, dtype=jnp.float32), h, w)
