@@ -137,6 +137,17 @@ class BaseDitherStrategy:
                image_size: Tuple[int, int]) -> np.ndarray:
         raise NotImplementedError
 
+    def dither_batch(self, images: np.ndarray, palette_arr: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) f32 -> (B, H, W, 3) f32. Default: per-frame loop;
+        strategies with device batch kernels override this (the video
+        pipeline's throughput path)."""
+        b, h, w, _ = images.shape
+        out = np.empty_like(images)
+        for i in range(b):
+            out[i] = self.dither(images[i].reshape(-1, 3), palette_arr,
+                                 (h, w)).reshape(h, w, 3)
+        return out
+
     @staticmethod
     def get_parameter_info() -> Optional[Dict[str, Any]]:
         return None
@@ -146,6 +157,7 @@ class BaseDitherStrategy:
 
 
 def _prep(pixels: np.ndarray, palette_arr: np.ndarray, image_size: Tuple[int, int]):
+    _runtime.jax_platform()  # resolve backend (with CPU fallback) before jnp use
     h, w = image_size
     img = np.asarray(pixels, dtype=np.float32).reshape(h, w, 3)
     pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
@@ -159,6 +171,13 @@ class NoDitherStrategy(BaseDitherStrategy):
         _, pal = _prep(pixels, palette_arr, image_size)
         out = map_to_palette(jnp.asarray(pixels, dtype=jnp.float32), jnp.asarray(pal))
         return np.asarray(out, dtype=np.float32)
+
+    def dither_batch(self, images, palette_arr):
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        out = map_to_palette(jnp.asarray(images.reshape(-1, 3), dtype=jnp.float32),
+                             jnp.asarray(pal))
+        return np.asarray(out, dtype=np.float32).reshape(b, h, w, 3)
 
 
 # -------------------- Ordered (threshold screen) strategies --------------------
@@ -182,6 +201,14 @@ class MatrixDitherStrategy(BaseDitherStrategy):
         screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
         out = _ordered.ordered_dither(jnp.asarray(img), jnp.asarray(pal), screen)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
+
+    def dither_batch(self, images, palette_arr):
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
+        out = _ordered.ordered_dither_batch(
+            jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal), screen)
+        return np.asarray(out).astype(np.float32)
 
 
 class BayerDitherStrategy(MatrixDitherStrategy):
@@ -278,6 +305,14 @@ class InterleavedGradientNoiseDitherStrategy(BaseDitherStrategy):
         out = _ordered.ordered_dither(jnp.asarray(img), jnp.asarray(pal), screen)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
 
+    def dither_batch(self, images, palette_arr):
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
+        out = _ordered.ordered_dither_batch(
+            jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal), screen)
+        return np.asarray(out).astype(np.float32)
+
     def get_current_parameters(self) -> Dict[str, Any]:
         return {"scale": self.scale, "seed": self.seed}
 
@@ -331,6 +366,19 @@ def _wavefront_or_none():
         return None
 
 
+def _threaded_frames(fn, items, like):
+    """Run a per-frame native-engine call across frames with threads (the
+    ctypes calls release the GIL). ``items`` is a sequence of per-frame
+    inputs; ``like`` an array providing the output shape/dtype."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    out = np.empty_like(like)
+    with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+        for i, res in enumerate(ex.map(fn, items)):
+            out[i] = res
+    return out
+
+
 class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
     """Unified 8-variant fixed-weight error diffusion."""
 
@@ -371,6 +419,17 @@ class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
             out = _ed_host.ed_fixed(img, pal, self.variant, self.serpentine)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
 
+    def dither_batch(self, images, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = None if self.serpentine else _wavefront_or_none()
+        if wf is not None:
+            return wf.ed_batch_wavefront(images.astype(np.float32), pal,
+                                         "fixed", self.variant)
+        return _threaded_frames(
+            lambda im: _ed_host.ed_fixed(im.astype(np.float32).copy(), pal,
+                                         self.variant, self.serpentine),
+            list(images), images)
+
 
 class OstromoukhovDitherStrategy(BaseDitherStrategy):
     """Ostromoukhov variable-coefficient error diffusion (SIGGRAPH 2001)."""
@@ -403,6 +462,16 @@ class OstromoukhovDitherStrategy(BaseDitherStrategy):
         else:
             out = _ed_host.ed_ostromoukhov(img, pal, self.serpentine)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
+
+    def dither_batch(self, images, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = None if self.serpentine else _wavefront_or_none()
+        if wf is not None:
+            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "ostromoukhov")
+        return _threaded_frames(
+            lambda im: _ed_host.ed_ostromoukhov(im.astype(np.float32).copy(), pal,
+                                                self.serpentine),
+            list(images), images)
 
 
 class HybridDitherStrategy(BaseDitherStrategy):
@@ -447,6 +516,18 @@ class HybridDitherStrategy(BaseDitherStrategy):
             out = _ed_host.ed_hybrid(img, pal, self.lum_factor, self.col_factor)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
 
+    def dither_batch(self, images, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = _wavefront_or_none()
+        if wf is not None:
+            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "hybrid",
+                                         lum_factor=self.lum_factor,
+                                         col_factor=self.col_factor)
+        return _threaded_frames(
+            lambda im: _ed_host.ed_hybrid(im.astype(np.float32).copy(), pal,
+                                          self.lum_factor, self.col_factor),
+            list(images), images)
+
 
 class PerceptualDitherStrategy(BaseDitherStrategy):
     """FS diffusion with luminance-scaled error weights (no parameters)."""
@@ -466,6 +547,15 @@ class PerceptualDitherStrategy(BaseDitherStrategy):
         else:
             out = _ed_host.ed_perceptual(img, pal)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
+
+    def dither_batch(self, images, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = _wavefront_or_none()
+        if wf is not None:
+            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "perceptual")
+        return _threaded_frames(
+            lambda im: _ed_host.ed_perceptual(im.astype(np.float32).copy(), pal),
+            list(images), images)
 
 
 class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
@@ -512,6 +602,24 @@ class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
         else:
             out = _ed_host.ed_adaptive(img, pal, gate)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
+
+    def _gates(self, images):
+        gray = (np.float32(0.299) * images[..., 0] + np.float32(0.587) * images[..., 1]
+                + np.float32(0.114) * images[..., 2])
+        return np.stack([
+            _adaptive.variance_map_np(g, self.window_radius) >= self.var_threshold
+            for g in gray]).astype(np.float32)
+
+    def dither_batch(self, images, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        gates = self._gates(images)
+        wf = _wavefront_or_none()
+        if wf is not None:
+            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "adaptive",
+                                         aux=gates)
+        return _threaded_frames(
+            lambda t: _ed_host.ed_adaptive(t[0].astype(np.float32).copy(), pal, t[1]),
+            list(zip(images, gates)), images)
 
 
 class RiemersmaDitherStrategy(BaseDitherStrategy):
@@ -825,6 +933,37 @@ class ImageDitherer:
             out_srgb_01 = DitherUtils.linear_to_srgb(np.clip(out_lin_01, 0, 1))
             out_8 = np.clip(out_srgb_01 * 255.0, 0, 255).astype(np.uint8)
         return out_8
+
+    def apply_dithering_batch(self, arrs_srgb_8: np.ndarray) -> np.ndarray:
+        """Batched device path: (B, H, W, 3) uint8 -> (B, H, W, 3) uint8.
+
+        Requires an explicit palette (the video pipeline computes one from
+        the first frame, matching reference semantics). Dispatches to each
+        strategy's device batch kernel.
+        """
+        if self.palette is None:
+            raise ValueError("apply_dithering_batch requires a palette; "
+                             "compute one from the first frame first")
+        if self.use_gamma:
+            lin = DitherUtils.srgb_to_linear(arrs_srgb_8.astype(np.float32) / 255.0)
+            work = np.clip(lin * 255.0, 0, 255).astype(np.uint8)
+        else:
+            work = arrs_srgb_8
+
+        palette_arr = np.array(self.palette, dtype=np.float32)
+        if self.use_gamma:
+            pal_lin = DitherUtils.srgb_to_linear(palette_arr / 255.0)
+            palette_arr = np.clip(pal_lin * 255.0, 0, 255).astype(np.float32)
+
+        mode = self.dither_mode or DitherMode.NONE
+        strategy = self._get_dither_strategy(mode)
+        out = strategy.dither_batch(work.astype(np.float32), palette_arr)
+        out8 = out.astype(np.uint8)
+
+        if self.use_gamma:
+            srgb = DitherUtils.linear_to_srgb(np.clip(out8.astype(np.float32) / 255.0, 0, 1))
+            out8 = np.clip(srgb * 255.0, 0, 255).astype(np.uint8)
+        return out8
 
     def apply_dithering(self, image: Image.Image) -> Image.Image:
         arr = np.array(image.convert("RGB"), dtype=np.uint8)

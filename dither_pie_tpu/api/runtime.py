@@ -19,12 +19,20 @@ import os
 
 @functools.lru_cache(maxsize=1)
 def jax_platform() -> str:
+    """Resolved JAX backend, with CPU fallback when the accelerator plugin
+    failed to register (e.g. the chip is held by another process)."""
     import jax
 
     try:
+        jax.devices()
         return jax.default_backend()
     except Exception:
-        return "cpu"
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.devices()
+            return "cpu"
+        except Exception:
+            return "cpu"
 
 
 def on_accelerator() -> bool:

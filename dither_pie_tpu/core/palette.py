@@ -133,6 +133,9 @@ def kmeans_palette(
     Keeps the reference's <=10k-pixel subsample cap
     (/root/reference/dithering_lib.py:1850-1853) but with a seeded sampler.
     """
+    from dither_pie_tpu.api.runtime import jax_platform
+
+    jax_platform()  # resolve backend (CPU fallback) before the jitted fit
     pix = rgb_u8.reshape(-1, 3)
     if len(pix) > sample_cap:
         rng = np.random.RandomState(random_state)

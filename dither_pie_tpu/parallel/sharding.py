@@ -1,0 +1,80 @@
+"""Multi-chip sharded dithering steps (shard_map over a device mesh).
+
+Parallelism map for this workload (SURVEY.md §2.8):
+
+* **data** axis — frame batch. Frames are independent; zero steady-state
+  collectives. This replaces the reference's multiprocessing.Pool.
+* **space** axis — image rows, for ordered/screen modes only (every output
+  pixel is a local decision, so row sharding needs no halo). Error-diffusion
+  cannot shard rows without changing semantics; across chips it stays
+  data-parallel (each chip scans whole frames with the wavefront kernel).
+* The only collective in the pipeline is an optional ``psum`` of per-palette
+  usage histograms (observability), which doubles as the ICI sanity check in
+  the multichip dry run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from dither_pie_tpu.core.colors import srgb_to_linear, linear_to_srgb
+from dither_pie_tpu.core.distance import distance_ratio_factor, top2_palette
+
+
+def _ordered_dither_local(frames_u8, palette, screen, use_gamma: bool):
+    """Dither a local shard of frames: (b, h, w, 3) u8 -> u8, plus a
+    per-palette usage count (for the psum'd histogram)."""
+    x = frames_u8.astype(jnp.float32)
+    if use_gamma:
+        lin = srgb_to_linear(x / 255.0)
+        x = jnp.round(jnp.clip(lin * 255.0, 0, 255))  # 8-bit linear quirk
+    b, h, w, _ = x.shape
+    px = x.reshape(-1, 3)
+    d1, d2, i1, i2 = top2_palette(px, palette)
+    factor = distance_ratio_factor(d1, d2)
+    thr = jnp.broadcast_to(screen[None], (b, h, w)).reshape(-1)
+    idx = jnp.where(factor <= thr, i1, i2)
+    out = jnp.take(palette, idx, axis=0)
+    if use_gamma:
+        srgb = linear_to_srgb(jnp.clip(out / 255.0, 0, 1))
+        out = jnp.clip(srgb * 255.0, 0, 255)
+    hist = jnp.zeros((palette.shape[0],), jnp.int32).at[idx].add(1)
+    return out.reshape(b, h, w, 3).astype(jnp.uint8), hist
+
+
+def make_sharded_ordered_step(mesh: Mesh, use_gamma: bool = False):
+    """A jitted multi-chip ordered-dither step.
+
+    frames (B, H, W, 3) u8: B over 'data', H over 'space'.
+    screen (H, W) f32: H over 'space'.
+    palette (P, 3) f32: replicated.
+    Returns (frames u8 with the same sharding, global palette histogram).
+    """
+
+    def local_step(frames, palette, screen):
+        out, hist = _ordered_dither_local(frames, palette, screen, use_gamma)
+        # ICI collective: global palette-usage histogram.
+        hist = jax.lax.psum(hist, axis_name="data")
+        hist = jax.lax.psum(hist, axis_name="space")
+        return out, hist
+
+    step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P("data", "space", None, None), P(), P("space", None)),
+        out_specs=(P("data", "space", None, None), P()),
+    )
+    return jax.jit(step)
+
+
+def shard_frames(mesh: Mesh, frames_u8: np.ndarray) -> jax.Array:
+    """Place a host frame batch onto the mesh with (data, space) sharding."""
+    return jax.device_put(
+        frames_u8, NamedSharding(mesh, P("data", "space", None, None)))

@@ -1,0 +1,133 @@
+"""FFmpeg-backed video I/O: probing and raw-frame streaming.
+
+The reference extracted every frame to PNG files in a tempdir
+(/root/reference/video_processor.py:204-217) — two full image codec round
+trips per frame. Here frames stream through ffmpeg rawvideo pipes straight
+into preallocated numpy buffers (and back out to the encoder), which is what
+lets the device stay fed. ffmpeg presence is probed once; pipelines degrade
+with a clear error when it's missing.
+"""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+FFMPEG = shutil.which("ffmpeg")
+FFPROBE = shutil.which("ffprobe")
+
+
+def ffmpeg_available() -> bool:
+    return FFMPEG is not None and FFPROBE is not None
+
+
+def probe_video(video_path: str) -> dict:
+    """fps / width / height / duration / frame_count via ffprobe (with the
+    reference's >100-means-frame-count heuristic and fallback defaults)."""
+    try:
+        def run(entries):
+            cmd = [FFPROBE, "-v", "error", "-select_streams", "v:0",
+                   "-show_entries", f"stream={entries}",
+                   "-of", "default=nokey=1:noprint_wrappers=1", video_path]
+            return subprocess.run(cmd, capture_output=True, text=True,
+                                  check=True).stdout.strip()
+
+        fps_str = run("r_frame_rate")
+        if "/" in fps_str:
+            num, den = fps_str.split("/")
+            fps = float(num) / float(den)
+        else:
+            fps = float(fps_str) if fps_str else 30.0
+
+        dims = run("width,height").split("\n")
+        width = int(dims[0]) if len(dims) > 0 else 1920
+        height = int(dims[1]) if len(dims) > 1 else 1080
+
+        duration = frame_count = None
+        for line in run("duration,nb_frames").split("\n"):
+            if line and line != "N/A":
+                try:
+                    val = float(line)
+                    if val > 100:  # likely a frame count
+                        frame_count = int(val)
+                    else:
+                        duration = val
+                except ValueError:
+                    pass
+        if frame_count is None and duration is not None:
+            frame_count = int(duration * fps)
+        return {"fps": fps, "width": width, "height": height,
+                "duration": duration, "frame_count": frame_count}
+    except Exception as e:
+        print(f"Warning: Could not get video info: {e}", file=sys.stderr)
+        return {"fps": 30.0, "width": 1920, "height": 1080,
+                "duration": None, "frame_count": None}
+
+
+def read_frames(video_path: str, width: int, height: int) -> Iterator[np.ndarray]:
+    """Yield (H, W, 3) uint8 frames from an ffmpeg rawvideo pipe."""
+    cmd = [FFMPEG, "-i", video_path, "-f", "rawvideo", "-pix_fmt", "rgb24",
+           "-v", "error", "-"]
+    frame_bytes = width * height * 3
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, bufsize=frame_bytes * 4)
+    try:
+        while True:
+            buf = proc.stdout.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                break
+            yield np.frombuffer(buf, np.uint8).reshape(height, width, 3)
+    finally:
+        proc.stdout.close()
+        proc.wait()
+
+
+def read_single_frame(video_path: str, index: int = 0) -> Optional[np.ndarray]:
+    """Decode one frame (by index) to an RGB array."""
+    info = probe_video(video_path)
+    w, h = info["width"], info["height"]
+    sel = [] if index == 0 else ["-vf", f"select=eq(n\\,{index})", "-vsync", "0"]
+    cmd = [FFMPEG, "-i", video_path, *sel, "-vframes", "1",
+           "-f", "rawvideo", "-pix_fmt", "rgb24", "-v", "error", "-"]
+    out = subprocess.run(cmd, capture_output=True).stdout
+    if len(out) < w * h * 3:
+        return None
+    return np.frombuffer(out[: w * h * 3], np.uint8).reshape(h, w, 3)
+
+
+class FrameWriter:
+    """Encode raw RGB frames with libx264 (crf 18, yuv420p), mapping audio
+    and subtitles from the original container with codec copy — identical
+    encoder settings to the reference (video_processor.py:361-377)."""
+
+    def __init__(self, output_path: str, width: int, height: int, fps: float,
+                 source_path: Optional[str] = None, total_frames: Optional[int] = None):
+        self.width, self.height = width, height
+        cmd = [FFMPEG, "-y",
+               "-f", "rawvideo", "-pix_fmt", "rgb24",
+               "-s", f"{width}x{height}", "-framerate", f"{fps:.5f}", "-i", "-"]
+        if source_path:
+            cmd += ["-i", source_path,
+                    "-map", "0:v:0", "-map", "1:a?", "-map", "1:s?"]
+        cmd += ["-c:v", "libx264", "-preset", "medium", "-crf", "18",
+                "-pix_fmt", "yuv420p"]
+        if total_frames:
+            # Prevent ffmpeg padding the video to the audio's duration.
+            cmd += ["-vframes", str(total_frames)]
+        if source_path:
+            cmd += ["-c:a", "copy", "-c:s", "copy"]
+        cmd += ["-v", "error", output_path]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                     stderr=subprocess.DEVNULL)
+
+    def write(self, frame: np.ndarray):
+        assert frame.shape == (self.height, self.width, 3) and frame.dtype == np.uint8
+        self.proc.stdin.write(frame.tobytes())
+
+    def close(self) -> bool:
+        self.proc.stdin.close()
+        return self.proc.wait() == 0

@@ -1,0 +1,291 @@
+"""Video pipeline: ffmpeg rawvideo streaming -> host batch assembly ->
+device-batched dithering -> streaming encode.
+
+TPU-first redesign of /root/reference/video_processor.py:172-390: instead of
+extracting every frame to PNG and fanning out to a multiprocessing pool, we
+stream raw frames through pipes, assemble (B, H, W, 3) batches, and run one
+device program per batch (batched wavefront scan for error diffusion, fused
+vmapped kernels for ordered modes). The batch axis is also the sharding axis
+for multi-chip meshes (see dither_pie_tpu/parallel/).
+
+Reference semantics preserved:
+  * one palette, computed from the FIRST frame, governs the whole video;
+  * per-frame retry (x2) with nearest-good-frame patching on failure;
+  * identical encoder settings (libx264 crf18 yuv420p, -vframes N, audio +
+    subtitle stream copy);
+  * progress callback protocol ``(fraction: float, message: str)``.
+
+Frame sources are pluggable: any iterator of (H, W, 3) uint8 arrays works,
+so the pipeline is testable without ffmpeg (tests feed synthetic frames).
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from dither_pie_tpu.api.ditherer import ImageDitherer, PixelizeMethod
+from dither_pie_tpu.pipeline import ffio
+from dither_pie_tpu.pipeline.pixelize import get_neural_pixelizer, pixelize_regular
+
+logger = logging.getLogger("dither_pie_tpu")
+
+__all__ = ["VideoProcessor", "NeuralPixelizer", "pixelize_regular",
+           "process_single_video", "process_frames"]
+
+
+def _apply_final_resize_to_frame(arr: np.ndarray, multiplier: int) -> np.ndarray:
+    """Integer nearest-neighbor upscale, even dims (yuv420p requirement)."""
+    h, w, _ = arr.shape
+    out = np.repeat(np.repeat(arr, multiplier, axis=0), multiplier, axis=1)
+    nh, nw = out.shape[:2]
+    if nh % 2 or nw % 2:
+        out = np.pad(out, ((0, nh % 2), (0, nw % 2), (0, 0)), mode="edge")
+    return out
+
+
+def _pixelize_frame(arr: np.ndarray, method: Optional[str], max_size: int) -> np.ndarray:
+    if method in (PixelizeMethod.REGULAR.value, "regular"):
+        img = Image.fromarray(arr)
+        return np.array(pixelize_regular(img, max_size))
+    if method in (PixelizeMethod.NEURAL.value, "neural"):
+        img = Image.fromarray(arr)
+        return np.array(get_neural_pixelizer().pixelize(img, max_size).convert("RGB"))
+    return arr
+
+
+def process_frames(
+    frames: Iterable[np.ndarray],
+    ditherer: ImageDitherer,
+    pixelize_func: Optional[Tuple[str, int]] = None,
+    final_resize_multiplier: Optional[int] = None,
+    batch_size: int = 16,
+    progress: Optional[Callable[[float, str], None]] = None,
+    total_frames: Optional[int] = None,
+    retries: int = 2,
+) -> Iterator[np.ndarray]:
+    """Core streaming transform: frames in -> processed frames out.
+
+    Batches frames for the device; retries failed batches frame-by-frame;
+    patches irrecoverable frames with the nearest previous good frame
+    (or the next good one at the start of the stream).
+    """
+    method, max_size = pixelize_func if pixelize_func else (None, 64)
+    batch: List[np.ndarray] = []
+    done = 0
+    last_good: Optional[np.ndarray] = None
+    pending_patch = 0  # leading frames that failed before any success
+
+    def run_batch(arrs: List[np.ndarray]) -> List[Optional[np.ndarray]]:
+        stacked = np.stack(arrs)
+        try:
+            out = ditherer.apply_dithering_batch(stacked)
+            return [out[i] for i in range(len(arrs))]
+        except Exception as e:
+            logger.warning(f"Batch dither failed ({e}); retrying per frame")
+            results: List[Optional[np.ndarray]] = []
+            for arr in arrs:
+                ok = None
+                for _ in range(retries):
+                    try:
+                        ok = ditherer.apply_dithering_batch(arr[None])[0]
+                        break
+                    except Exception as ee:
+                        logger.error(f"Frame failed: {ee}", exc_info=False)
+                results.append(ok)
+            return results
+
+    def flush():
+        nonlocal done, last_good, pending_patch
+        if not batch:
+            return
+        # Pixelization is per-frame host-side (PIL); sizes may change, so it
+        # happens before batch assembly.
+        pix = [_pixelize_frame(a, method, max_size) for a in batch]
+        results = run_batch(pix)
+        batch.clear()
+        for res in results:
+            if res is None:
+                if last_good is None:
+                    # Leading failure: backfilled with the first good frame.
+                    pending_patch += 1
+                    continue
+                logger.warning("Patched failed frame from nearest good frame")
+                res = last_good.copy()
+            else:
+                last_good = res
+            emit = res
+            if final_resize_multiplier:
+                emit = _apply_final_resize_to_frame(emit, final_resize_multiplier)
+            # Backfill any leading failures with this first good frame.
+            for _ in range(pending_patch):
+                done += 1
+                yield emit.copy()
+            pending_patch = 0
+            done += 1
+            yield emit
+            if progress and total_frames and done % 5 == 0:
+                progress(0.1 + 0.8 * done / total_frames,
+                         f"Processed {done}/{total_frames} frames")
+
+    for frame in frames:
+        batch.append(np.asarray(frame))
+        if len(batch) >= batch_size:
+            yield from flush()
+    yield from flush()
+
+
+class VideoProcessor:
+    """Streaming video processing with device-batched dithering.
+
+    API-compatible with the reference's VideoProcessor (constructor takes an
+    optional progress callback; ``process_video_streaming`` takes a built
+    ImageDitherer plus the pixelize tuple).
+    """
+
+    def __init__(self,
+                 num_workers: Optional[int] = None,  # accepted for API parity
+                 progress_callback: Optional[Callable[[float, str], None]] = None,
+                 batch_size: int = 16):
+        self.num_workers = num_workers
+        self.progress_callback = progress_callback
+        self.batch_size = batch_size
+
+    def _report_progress(self, fraction: float, message: str):
+        if self.progress_callback:
+            self.progress_callback(fraction, message)
+
+    def get_video_info(self, video_path: str) -> dict:
+        return ffio.probe_video(video_path)
+
+    def process_video_streaming(self,
+                                input_path: str,
+                                output_path: str,
+                                ditherer: ImageDitherer,
+                                pixelize_func: Optional[Tuple[str, int]] = None,
+                                batch_size: Optional[int] = None,
+                                final_resize_multiplier: Optional[int] = None) -> bool:
+        if not ffio.ffmpeg_available():
+            logger.error("ffmpeg/ffprobe not found on PATH — video processing "
+                         "requires ffmpeg")
+            return False
+        try:
+            info = self.get_video_info(input_path)
+            fps, w, h = info["fps"], info["width"], info["height"]
+            total = info.get("frame_count")
+            self._report_progress(0.0, "Initializing video processing...")
+
+            reader = ffio.read_frames(input_path, w, h)
+            writer: Optional[ffio.FrameWriter] = None
+            n_written = 0
+
+            self._report_progress(0.05, "Streaming frames...")
+            for out in process_frames(
+                    reader, ditherer, pixelize_func=pixelize_func,
+                    final_resize_multiplier=final_resize_multiplier,
+                    batch_size=batch_size or self.batch_size,
+                    progress=self._report_progress, total_frames=total):
+                if writer is None:
+                    oh, ow = out.shape[:2]
+                    writer = ffio.FrameWriter(output_path, ow, oh, fps,
+                                              source_path=input_path,
+                                              total_frames=total)
+                writer.write(out)
+                n_written += 1
+
+            if writer is None:
+                raise ValueError("No frames extracted from video")
+            self._report_progress(0.9, "Finalizing encode...")
+            ok = writer.close()
+            self._report_progress(1.0, "Video processing complete!")
+            return ok and n_written > 0
+        except Exception as e:
+            self._report_progress(1.0, f"Error: {e}")
+            logger.error(f"Video processing error: {e}", exc_info=True)
+            return False
+
+
+class NeuralPixelizer:
+    """API-parity wrapper delegating to the Flax neural pixelizer singleton
+    (reference surface: video_processor.py:478-560)."""
+
+    def __init__(self, device: Optional[str] = None):
+        self._impl = get_neural_pixelizer()
+
+    def pixelize(self, image: Image.Image, max_size: int) -> Image.Image:
+        return self._impl.pixelize(image, max_size)
+
+
+def process_single_video(config: Dict[str, Any], neural_pixelizer=None) -> bool:
+    """Config-driven video processing (reference surface:
+    dither_cli.py:593-710): palette from first frame, then stream."""
+    from dither_pie_tpu.pipeline.image import build_ditherer
+
+    try:
+        input_path = Path(config["input"])
+        output_path = Path(config["output"])
+        logger.info(f"Processing video: {input_path.name}")
+
+        if not ffio.ffmpeg_available():
+            logger.error("ffmpeg/ffprobe not found on PATH — video processing "
+                         "requires ffmpeg")
+            return False
+
+        processor = VideoProcessor()
+        info = processor.get_video_info(str(input_path))
+        logger.info(f"Video: {info['width']}x{info['height']}, "
+                    f"{info['fps']:.2f} fps, {info['frame_count']} frames")
+
+        logger.info("Loading first frame for palette generation...")
+        first = ffio.read_single_frame(str(input_path), 0)
+        if first is None:
+            logger.error("Could not decode first frame")
+            return False
+
+        try:
+            ditherer = build_ditherer(config, Image.fromarray(first))
+        except ValueError:
+            logger.error(f"Invalid dither mode: {config['dithering']['mode']}")
+            return False
+
+        pixelize_func = None
+        if config["pixelization"]["enabled"]:
+            method = config["pixelization"]["method"]
+            if method in (PixelizeMethod.REGULAR.value, PixelizeMethod.NEURAL.value):
+                pixelize_func = (method, config["pixelization"]["max_size"])
+                if method == PixelizeMethod.NEURAL.value and neural_pixelizer is None:
+                    logger.info("Loading neural pixelization models...")
+                    get_neural_pixelizer()
+
+        final_resize = (config["final_resize"]["multiplier"]
+                        if config["final_resize"]["enabled"] else None)
+
+        output_path.parent.mkdir(parents=True, exist_ok=True)
+
+        from dither_pie_tpu.cli.main import CLIProgressCallback
+
+        cb = CLIProgressCallback()
+        processor = VideoProcessor(progress_callback=lambda f, m: cb.update(f, m))
+        logger.info("Processing video frames...")
+        with cb:
+            ok = processor.process_video_streaming(
+                str(input_path), str(output_path), ditherer,
+                pixelize_func=pixelize_func,
+                final_resize_multiplier=final_resize)
+        if ok:
+            size_mb = output_path.stat().st_size / (1024 * 1024)
+            logger.info(f"Video processed successfully ({size_mb:.1f} MB)")
+            return True
+        logger.error("Video processing failed")
+        return False
+    except KeyboardInterrupt:
+        logger.warning("Video processing interrupted by user")
+        raise
+    except Exception as e:
+        logger.error(f"Failed to process video: {e}", exc_info=True)
+        return False

@@ -1,0 +1,241 @@
+"""Pipeline + CLI tests: config validation, image pipeline end-to-end,
+video frame streaming (synthetic source — no ffmpeg needed), batch API."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import dither_pie_tpu as dpt
+from dither_pie_tpu.api.config import (ConfigValidationError, detect_mode,
+                                       load_config)
+from dither_pie_tpu.pipeline.image import process_single_image
+from dither_pie_tpu.pipeline.video import process_frames
+
+
+@pytest.fixture()
+def tmp_image(tmp_path):
+    rng = np.random.RandomState(3)
+    p = tmp_path / "in.png"
+    Image.fromarray(rng.randint(0, 256, (40, 60, 3), dtype=np.uint8)).save(p)
+    return p
+
+
+def _write_config(tmp_path, cfg):
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(cfg))
+    return p
+
+
+class TestConfig:
+    def test_missing_fields(self, tmp_path):
+        p = _write_config(tmp_path, {})
+        with pytest.raises(ConfigValidationError) as e:
+            load_config(p)
+        assert "input" in str(e.value) and "output" in str(e.value)
+
+    def test_invalid_mode_and_dither(self, tmp_path, tmp_image):
+        p = _write_config(tmp_path, {
+            "input": str(tmp_image), "output": "out.png",
+            "mode": "bogus", "dithering": {"mode": "nope"},
+            "palette": {"num_colors": -1},
+        })
+        with pytest.raises(ConfigValidationError) as e:
+            load_config(p)
+        msg = str(e.value)
+        assert "Invalid mode" in msg
+        assert "Invalid dither mode" in msg
+        assert "num_colors" in msg
+
+    def test_defaults_and_relative_paths(self, tmp_path, tmp_image):
+        p = _write_config(tmp_path, {"input": "in.png", "output": "sub/out.png"})
+        cfg = load_config(p)
+        assert cfg["input"] == str(tmp_image)
+        assert cfg["output"].endswith(os.path.join("sub", "out.png"))
+        assert cfg["dithering"]["mode"] == "bayer"
+        assert cfg["palette"]["num_colors"] == 16
+        assert cfg["final_resize"] == {"enabled": False, "multiplier": 2}
+
+    def test_missing_input_rejected(self, tmp_path):
+        p = _write_config(tmp_path, {"input": "nope.png", "output": "o.png"})
+        with pytest.raises(ConfigValidationError, match="not found"):
+            load_config(p)
+
+    def test_custom_palette_source_accepted(self, tmp_path, tmp_image):
+        p = _write_config(tmp_path, {
+            "input": "in.png", "output": "o.png",
+            "palette": {"source": "gb_dmg_palette"},
+        })
+        cfg = load_config(p)
+        assert cfg["palette"]["source"] == "gb_dmg_palette"
+
+    def test_detect_mode(self, tmp_path, tmp_image):
+        assert detect_mode(tmp_image) == "image"
+        assert detect_mode(tmp_path) == "folder"
+        v = tmp_path / "x.mp4"
+        v.touch()
+        assert detect_mode(v) == "video"
+        bad = tmp_path / "x.xyz"
+        bad.touch()
+        with pytest.raises(ConfigValidationError):
+            detect_mode(bad)
+
+
+class TestImagePipeline:
+    def test_end_to_end(self, tmp_path, tmp_image):
+        out = tmp_path / "out" / "result.png"
+        cfg = load_config(_write_config(tmp_path, {
+            "input": "in.png", "output": str(out),
+            "pixelization": {"enabled": True, "method": "regular", "max_size": 32},
+            "dithering": {"enabled": True, "mode": "bayer",
+                          "parameters": {"size": "4x4"}},
+            "palette": {"source": "median_cut", "num_colors": 8},
+            "final_resize": {"enabled": True, "multiplier": 2},
+        }))
+        assert process_single_image(cfg)
+        img = np.array(Image.open(out))
+        # 40x60 -> pixelize(max 32): smaller side ~32 -> 32x48, x2 resize
+        assert img.shape == (64, 96, 3)
+        assert len(np.unique(img.reshape(-1, 3), axis=0)) <= 8
+
+    def test_custom_palette_overrides_num_colors(self, tmp_path, tmp_image):
+        out = tmp_path / "o.png"
+        cfg = load_config(_write_config(tmp_path, {
+            "input": "in.png", "output": str(out),
+            "dithering": {"enabled": True, "mode": "none"},
+            "palette": {"source": "gb_dmg_palette", "num_colors": 99},
+        }))
+        assert process_single_image(cfg)
+        img = np.array(Image.open(out))
+        assert len(np.unique(img.reshape(-1, 3), axis=0)) <= 4  # gb_dmg has 4
+
+
+class TestVideoFrames:
+    def _frames(self, n=10, h=24, w=32):
+        rng = np.random.RandomState(0)
+        for _ in range(n):
+            yield rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+
+    def test_process_frames_stream(self):
+        d = dpt.ImageDitherer(
+            num_colors=4, dither_mode=dpt.DitherMode.BAYER,
+            palette=[(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)])
+        outs = list(process_frames(self._frames(), d, batch_size=4))
+        assert len(outs) == 10
+        for o in outs:
+            assert o.shape == (24, 32, 3) and o.dtype == np.uint8
+            assert len(np.unique(o.reshape(-1, 3), axis=0)) <= 4
+
+    def test_process_frames_matches_single(self):
+        pal = [(0, 0, 0), (255, 255, 255), (0, 255, 0), (255, 0, 255)]
+        d = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode.BAYER,
+                              palette=list(pal))
+        frames = list(self._frames(6))
+        outs = list(process_frames(iter(frames), d, batch_size=3))
+        for f, o in zip(frames, outs):
+            single = dpt.ImageDitherer(
+                num_colors=4, dither_mode=dpt.DitherMode.BAYER,
+                palette=list(pal)).apply_dithering_array(f)
+            np.testing.assert_array_equal(o, single)
+
+    def test_final_resize_and_pixelize(self):
+        d = dpt.ImageDitherer(num_colors=2, dither_mode=dpt.DitherMode.NONE,
+                              palette=[(0, 0, 0), (255, 255, 255)])
+        outs = list(process_frames(self._frames(3), d,
+                                   pixelize_func=("regular", 16),
+                                   final_resize_multiplier=3, batch_size=2))
+        # 24x32 -> even-dims pixelize(16): h=16, w=22 (round(32/24*16)=21->22); x3 -> pad to even
+        assert all(o.shape[0] % 2 == 0 and o.shape[1] % 2 == 0 for o in outs)
+
+    def test_ed_batch_stream(self, monkeypatch):
+        monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "native")
+        d = dpt.ImageDitherer(
+            num_colors=3, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
+            palette=[(0, 0, 0), (128, 128, 128), (255, 255, 255)],
+            dither_params={"variant": "floyd_steinberg"})
+        outs = list(process_frames(self._frames(5), d, batch_size=2))
+        assert len(outs) == 5
+
+    def test_gamma_batch_matches_single(self):
+        pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40)]
+        frames = list(self._frames(4))
+        d = dpt.ImageDitherer(num_colors=3, dither_mode=dpt.DitherMode.BAYER,
+                              palette=list(pal), use_gamma=True)
+        batch = d.apply_dithering_batch(np.stack(frames))
+        for i, f in enumerate(frames):
+            single = dpt.ImageDitherer(
+                num_colors=3, dither_mode=dpt.DitherMode.BAYER,
+                palette=list(pal), use_gamma=True).apply_dithering_array(f)
+            np.testing.assert_array_equal(batch[i], single)
+
+
+class TestCLI:
+    def _env(self):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env["JAX_PLATFORMS"] = "cpu"
+        return env
+
+    def test_example_config(self):
+        r = subprocess.run([sys.executable, "-m", "dither_pie_tpu.cli.main",
+                            "--example-config"], capture_output=True, text=True,
+                           env=self._env(), cwd="/root/repo")
+        assert r.returncode == 0
+        cfg = json.loads(r.stdout)
+        assert cfg["dithering"]["mode"] == "bayer"
+
+    def test_cli_image_run(self, tmp_path, tmp_image):
+        out = tmp_path / "result.png"
+        cfgp = _write_config(tmp_path, {
+            "input": "in.png", "output": str(out),
+            "dithering": {"enabled": True, "mode": "bayer"},
+            "palette": {"source": "median_cut", "num_colors": 4},
+        })
+        r = subprocess.run([sys.executable, "-m", "dither_pie_tpu.cli.main",
+                            str(cfgp)], capture_output=True, text=True,
+                           env=self._env(), cwd="/root/repo")
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert out.exists()
+
+    def test_cli_input_override_smart_name(self, tmp_path, tmp_image):
+        cfgp = _write_config(tmp_path, {
+            "input": "placeholder.png", "output": "placeholder_out.png",
+            "dithering": {"enabled": True, "mode": "bayer"},
+            "palette": {"source": "kmeans", "num_colors": 8},
+        })
+        r = subprocess.run([sys.executable, "-m", "dither_pie_tpu.cli.main",
+                            str(cfgp), str(tmp_image)], capture_output=True,
+                           text=True, env=self._env(), cwd="/root/repo")
+        assert r.returncode == 0, r.stdout + r.stderr
+        expected = tmp_image.parent / "in_bayer_km8c.png"
+        assert expected.exists()
+
+    def test_cli_missing_config(self):
+        r = subprocess.run([sys.executable, "-m", "dither_pie_tpu.cli.main",
+                            "/nonexistent/config.json"], capture_output=True,
+                           text=True, env=self._env(), cwd="/root/repo")
+        assert r.returncode == 1
+
+    def test_cli_folder_batch(self, tmp_path):
+        rng = np.random.RandomState(0)
+        folder = tmp_path / "imgs"
+        folder.mkdir()
+        for i in range(3):
+            Image.fromarray(rng.randint(0, 256, (20, 20, 3), dtype=np.uint8)).save(
+                folder / f"img{i}.png")
+        cfgp = _write_config(tmp_path, {
+            "input": str(folder), "output": str(tmp_path / "out"),
+            "mode": "folder",
+            "dithering": {"enabled": True, "mode": "none"},
+            "palette": {"source": "uniform", "num_colors": 8},
+        })
+        r = subprocess.run([sys.executable, "-m", "dither_pie_tpu.cli.main",
+                            str(cfgp)], capture_output=True, text=True,
+                           env=self._env(), cwd="/root/repo")
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert len(list((tmp_path / "out").glob("*.png"))) == 3

