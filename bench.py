@@ -62,24 +62,29 @@ def main():
 
     # ---- A: Bayer 8x8, 16 colors, batch of 8 frames -----------------------
     from dither_pie_tpu.core.thresholds import bayer_matrix
-    from dither_pie_tpu.ops.ordered import ordered_dither_batch, tile_screen_device
+    from dither_pie_tpu.ops.ordered import tile_screen_device
+    from dither_pie_tpu.ops.ordered_pallas import ordered_dither_fused
 
     B_A = 8
     frames = jnp.asarray(rng.randint(0, 256, (B_A, H, W, 3), dtype=np.uint8))
     palette16 = jnp.asarray(rng.randint(0, 256, (16, 3)).astype(np.float32))
     screen = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), H, W)
 
+    # All inputs passed as jit ARGUMENTS (closures would inline device
+    # arrays into the HLO and blow the remote-compile request limit).
     def bayer_many(k):
-        def f():
+        @jax.jit
+        def f(frames, palette16, screen):
             acc = jnp.zeros((), jnp.uint32)
             for i in range(k):
-                out = ordered_dither_batch(
-                    jnp.bitwise_xor(frames, jnp.uint8(i)), palette16, screen)
+                out = ordered_dither_fused(
+                    jnp.bitwise_xor(frames, jnp.uint8(i)), palette16, screen,
+                    interpret=platform == "cpu")
                 acc = acc + out[0, 0, 0, 0].astype(jnp.uint32) + out[-1, -1, -1, -1]
             return acc
-        return jax.jit(f)
+        return lambda: f(frames, palette16, screen)
 
-    per_a = timed_pair(bayer_many(1), bayer_many(5), 5)
+    per_a = timed_pair(bayer_many(1), bayer_many(3), 3)
     bayer_mpix_s = B_A * mpix / per_a
     log(f"A bayer8x8@1080p x{B_A}: {per_a*1000:.2f} ms/batch -> "
         f"{bayer_mpix_s:.0f} MPix/s ({bayer_mpix_s/1000:.2f} GPix/s)")
@@ -98,15 +103,16 @@ def main():
     aux = jnp.zeros((1, 8), jnp.float32)
 
     def fs_many(k):
-        def f():
+        @jax.jit
+        def f(sk, pal_dev, aux):
             acc = jnp.zeros((), jnp.int32)
             for i in range(k):
                 out = call(sk + jnp.float32(i) * jnp.float32(1e-6), pal_dev, aux)
                 acc = acc + out[0, 0] + out[-1, -1]
             return acc
-        return jax.jit(f)
+        return lambda: f(sk, pal_dev, aux)
 
-    per_b = timed_pair(fs_many(1), fs_many(5), 5)
+    per_b = timed_pair(fs_many(1), fs_many(3), 3)
     fs_fps = B_B / per_b
     fs_mpix_s = fs_fps * mpix
     log(f"B floyd_steinberg@1080p x{B_B}: {per_b*1000:.2f} ms/batch -> "

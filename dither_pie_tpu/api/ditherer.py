@@ -199,14 +199,15 @@ class MatrixDitherStrategy(BaseDitherStrategy):
         img, pal = _prep(pixels, palette_arr, image_size)
         h, w = image_size
         screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
-        out = _ordered.ordered_dither(jnp.asarray(img), jnp.asarray(pal), screen)
+        out = _ordered.dispatch_ordered_batch(
+            jnp.asarray(img)[None], jnp.asarray(pal), screen)[0]
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
 
     def dither_batch(self, images, palette_arr):
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
-        out = _ordered.ordered_dither_batch(
+        out = _ordered.dispatch_ordered_batch(
             jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal), screen)
         return np.asarray(out).astype(np.float32)
 
@@ -302,14 +303,15 @@ class InterleavedGradientNoiseDitherStrategy(BaseDitherStrategy):
         img, pal = _prep(pixels, palette_arr, image_size)
         h, w = image_size
         screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
-        out = _ordered.ordered_dither(jnp.asarray(img), jnp.asarray(pal), screen)
+        out = _ordered.dispatch_ordered_batch(
+            jnp.asarray(img)[None], jnp.asarray(pal), screen)[0]
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
 
     def dither_batch(self, images, palette_arr):
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
-        out = _ordered.ordered_dither_batch(
+        out = _ordered.dispatch_ordered_batch(
             jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal), screen)
         return np.asarray(out).astype(np.float32)
 

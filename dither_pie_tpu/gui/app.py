@@ -1,0 +1,618 @@
+"""DitheringApp — the interactive GUI (tkinter/ttk).
+
+Feature parity with the reference app (/root/reference/dither_pie_gui.py):
+sidebar (open image/video, random frame, pixelize regular/neural/editor,
+final-resize multiplier with live size preview, dither mode dropdown + gear
+settings, color count, apply/save/fit/toggle), zoomable main viewer with a
+current/pixelized/dithered display state machine that preserves zoom/pan,
+palette selection dialog with generated + palette.json entries, color-bar
+previews, background-thread live preview with a 30-entry LRU cache keyed on
+(palette, gamma, mode, params), lospec import, palette-from-image, video
+apply on a worker thread, and config persistence on close.
+
+All processing goes through the same ImageDitherer / pipeline code paths as
+the CLI, so GUI and CLI results are identical by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+import tkinter as tk
+from collections import OrderedDict
+from pathlib import Path
+from tkinter import filedialog, messagebox, simpledialog, ttk
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from dither_pie_tpu.api.config_manager import ConfigManager
+from dither_pie_tpu.api.ditherer import DitherMode, ImageDitherer, ColorReducer
+from dither_pie_tpu.pipeline.pixelize import pixelize_regular
+from dither_pie_tpu.utils import (IMAGE_EXTENSIONS, VIDEO_EXTENSIONS,
+                                  PaletteManager, import_lospec_palette)
+from dither_pie_tpu.gui.widgets import (CustomPaletteCreator,
+                                        DitherSettingsDialog, PalettePreview,
+                                        PixelizationEditorDialog,
+                                        ProgressDialog, StatusBar,
+                                        ZoomableImage, clamp_parameters)
+
+PREVIEW_CACHE_SIZE = 30
+
+
+class DitheringApp:
+    def __init__(self, root: Optional[tk.Tk] = None):
+        self.root = root or tk.Tk()
+        self.root.title("Dither Pie TPU")
+        self.config = ConfigManager()
+        try:
+            self.root.geometry(self.config.get_window_geometry())
+        except Exception:
+            pass
+
+        # State machine: current | pixelized | dithered
+        self.current_image: Optional[Image.Image] = None
+        self.pixelized_image: Optional[Image.Image] = None
+        self.dithered_image: Optional[Image.Image] = None
+        self.display_state = "current"
+        self.video_path: Optional[str] = None
+        self.last_palette: Optional[List[Tuple[int, int, int]]] = None
+        self.last_gamma = False
+        self.dither_parameters: Dict[str, Dict[str, Any]] = {}
+        self._pixelize_cache: Dict[Tuple, Image.Image] = {}
+        self._preview_cache: "OrderedDict[str, Image.Image]" = OrderedDict()
+        self._preview_generation = [0]
+
+        self._build_ui()
+
+        self.root.protocol("WM_DELETE_WINDOW", self._on_close)
+
+    # ------------------------------------------------------------------ UI
+
+    def _build_ui(self):
+        outer = ttk.Frame(self.root)
+        outer.pack(fill="both", expand=True)
+
+        sidebar = ttk.Frame(outer, width=220)
+        sidebar.pack(side="left", fill="y", padx=6, pady=6)
+
+        def btn(text, cmd):
+            b = ttk.Button(sidebar, text=text, command=cmd)
+            b.pack(fill="x", pady=2)
+            return b
+
+        btn("Open Image...", self.open_image)
+        btn("Open Video...", self.open_video)
+        btn("Random Video Frame", self.random_video_frame)
+        ttk.Separator(sidebar).pack(fill="x", pady=4)
+
+        ttk.Label(sidebar, text="Pixelize max size").pack(anchor="w")
+        self.max_size_var = tk.IntVar(
+            value=self.config.get("defaults", "pixelize_max_size", default=128))
+        ttk.Entry(sidebar, textvariable=self.max_size_var, width=8).pack(anchor="w")
+        btn("Pixelize (regular)", self.pixelize_regular_action)
+        btn("Pixelize (neural)", self.pixelize_neural_action)
+        btn("Pixel Editor...", self.open_pixel_editor)
+        ttk.Separator(sidebar).pack(fill="x", pady=4)
+
+        ttk.Label(sidebar, text="Dither mode").pack(anchor="w")
+        mode_row = ttk.Frame(sidebar)
+        mode_row.pack(fill="x")
+        self.mode_var = tk.StringVar(
+            value=self.config.get("defaults", "dither_mode", default="bayer"))
+        self.mode_combo = ttk.Combobox(
+            mode_row, textvariable=self.mode_var, state="readonly",
+            values=[m.value for m in DitherMode], width=16)
+        self.mode_combo.pack(side="left", fill="x", expand=True)
+        ttk.Button(mode_row, text="⚙", width=3,
+                   command=self.open_mode_settings).pack(side="left", padx=2)
+
+        ttk.Label(sidebar, text="Colors").pack(anchor="w", pady=(4, 0))
+        self.colors_var = tk.IntVar(
+            value=self.config.get("defaults", "num_colors", default=16))
+        ttk.Entry(sidebar, textvariable=self.colors_var, width=8).pack(anchor="w")
+
+        self.gamma_var = tk.BooleanVar(
+            value=self.config.get("defaults", "use_gamma", default=False))
+        ttk.Checkbutton(sidebar, text="Gamma correction",
+                        variable=self.gamma_var).pack(anchor="w", pady=2)
+
+        ttk.Label(sidebar, text="Final resize ×").pack(anchor="w", pady=(4, 0))
+        self.resize_var = tk.IntVar(
+            value=self.config.get("defaults", "final_resize_multiplier", default=2))
+        self.resize_var.trace_add("write", lambda *a: self._update_size_note())
+        ttk.Entry(sidebar, textvariable=self.resize_var, width=8).pack(anchor="w")
+        self.size_note = ttk.Label(sidebar, text="", foreground="#888")
+        self.size_note.pack(anchor="w")
+
+        ttk.Separator(sidebar).pack(fill="x", pady=4)
+        btn("Apply Dithering...", self.apply_dithering_dialog)
+        btn("Apply to Video...", self.apply_to_video)
+        btn("Save Result...", self.save_result)
+        ttk.Separator(sidebar).pack(fill="x", pady=4)
+        btn("Import Lospec Palette...", self.import_lospec)
+        btn("Palette from Image...", self.palette_from_image)
+        btn("Create Palette...", self.create_palette)
+        ttk.Separator(sidebar).pack(fill="x", pady=4)
+        btn("Fit to Window", lambda: self.viewer.fit_image())
+        btn("Toggle View", self.toggle_view)
+
+        self.viewer = ZoomableImage(outer)
+        self.viewer.pack(side="left", fill="both", expand=True)
+
+        self.status = StatusBar(self.root,
+                                spinner=self.config.get("ui", "spinner",
+                                                        default="dots"))
+        self.status.pack(fill="x", side="bottom")
+
+    # ------------------------------------------------------------- helpers
+
+    def _active_source(self) -> Optional[Image.Image]:
+        return self.pixelized_image or self.current_image
+
+    def _show(self, image: Image.Image, state: str, keep_view=True):
+        view = self.viewer.get_view_state()
+        self.viewer.set_image(image, keep_view=keep_view)
+        if keep_view:
+            self.viewer.set_view_state(view)
+        self.display_state = state
+        self._update_size_note()
+
+    def _update_size_note(self):
+        img = self.dithered_image or self._active_source()
+        if img is None:
+            return
+        try:
+            mult = max(1, int(self.resize_var.get()))
+        except Exception:
+            mult = 1
+        w, h = img.size
+        self.size_note.config(text=f"result: {w * mult}x{h * mult}")
+
+    def _params_for_mode(self, mode: str) -> Dict[str, Any]:
+        info = ImageDitherer.get_mode_parameters(DitherMode(mode))
+        if not info:
+            return {}
+        return clamp_parameters(info, self.dither_parameters.get(mode, {}))
+
+    def _build_ditherer(self, palette, num_colors) -> ImageDitherer:
+        mode = self.mode_var.get()
+        return ImageDitherer(num_colors=num_colors,
+                             dither_mode=DitherMode(mode),
+                             palette=palette,
+                             use_gamma=self.gamma_var.get(),
+                             dither_params=self._params_for_mode(mode))
+
+    # ---------------------------------------------------------- file ops
+
+    def open_image(self):
+        path = filedialog.askopenfilename(
+            initialdir=self.config.get_last_dir("image") or ".",
+            filetypes=[("Images", " ".join(f"*{e}" for e in IMAGE_EXTENSIONS))])
+        if not path:
+            return
+        self.config.set_last_dir("image", str(Path(path).parent))
+        self.config.add_recent_file(path)
+        self.current_image = Image.open(path).convert("RGB")
+        self.pixelized_image = None
+        self.dithered_image = None
+        self.video_path = None
+        self._show(self.current_image, "current", keep_view=False)
+        self.status.set_text(f"Loaded {Path(path).name} "
+                             f"({self.current_image.size[0]}x{self.current_image.size[1]})")
+
+    def open_video(self):
+        path = filedialog.askopenfilename(
+            initialdir=self.config.get_last_dir("video") or ".",
+            filetypes=[("Videos", " ".join(f"*{e}" for e in VIDEO_EXTENSIONS))])
+        if not path:
+            return
+        from dither_pie_tpu.pipeline import ffio
+
+        if not ffio.ffmpeg_available():
+            messagebox.showerror("ffmpeg missing",
+                                 "Video support requires ffmpeg on PATH.")
+            return
+        self.config.set_last_dir("video", str(Path(path).parent))
+        frame = ffio.read_single_frame(path, 0)
+        if frame is None:
+            messagebox.showerror("Error", "Could not decode first frame")
+            return
+        self.video_path = path
+        self.current_image = Image.fromarray(frame)
+        self.pixelized_image = None
+        self.dithered_image = None
+        self._show(self.current_image, "current", keep_view=False)
+        self.status.set_text(f"Loaded video {Path(path).name} (first frame)")
+
+    def random_video_frame(self):
+        if not self.video_path:
+            messagebox.showinfo("No video", "Open a video first.")
+            return
+        from dither_pie_tpu.pipeline import ffio
+        import random
+
+        info = ffio.probe_video(self.video_path)
+        n = info.get("frame_count") or 100
+        idx = random.randint(0, max(0, n - 1))
+        frame = ffio.read_single_frame(self.video_path, idx)
+        if frame is None:
+            messagebox.showerror("Error", f"Could not decode frame {idx}")
+            return
+        self.current_image = Image.fromarray(frame)
+        self.pixelized_image = None
+        self.dithered_image = None
+        self._show(self.current_image, "current", keep_view=False)
+        self.status.set_text(f"Frame {idx}/{n}")
+
+    def save_result(self):
+        img = self.dithered_image or self._active_source()
+        if img is None:
+            messagebox.showinfo("Nothing to save", "Process an image first.")
+            return
+        try:
+            mult = max(1, int(self.resize_var.get()))
+        except Exception:
+            mult = 1
+        if mult > 1:
+            img = img.resize((img.size[0] * mult, img.size[1] * mult),
+                             Image.Resampling.NEAREST)
+        path = filedialog.asksaveasfilename(defaultextension=".png",
+                                            filetypes=[("PNG", "*.png")])
+        if path:
+            img.save(path)
+            self.status.set_text(f"Saved {Path(path).name}")
+
+    # ------------------------------------------------------- pixelization
+
+    def _pixelize_key(self, method: str, max_size: int) -> Tuple:
+        arr = np.asarray(self.current_image)
+        sample = arr[:: max(1, arr.shape[0] // 16), :: max(1, arr.shape[1] // 16)]
+        digest = hashlib.md5(sample.tobytes()).hexdigest()
+        return (method, max_size, digest)
+
+    def pixelize_regular_action(self):
+        if self.current_image is None:
+            return
+        max_size = int(self.max_size_var.get())
+        key = self._pixelize_key("regular", max_size)
+        if key not in self._pixelize_cache:
+            self._pixelize_cache[key] = pixelize_regular(self.current_image, max_size)
+        self.pixelized_image = self._pixelize_cache[key]
+        self.dithered_image = None
+        self._show(self.pixelized_image, "pixelized", keep_view=False)
+        self.status.set_text(
+            f"Pixelized to {self.pixelized_image.size[0]}x{self.pixelized_image.size[1]}")
+
+    def pixelize_neural_action(self):
+        if self.current_image is None:
+            return
+        max_size = int(self.max_size_var.get())
+        key = self._pixelize_key("neural", max_size)
+        if key in self._pixelize_cache:
+            self.pixelized_image = self._pixelize_cache[key]
+            self._show(self.pixelized_image, "pixelized", keep_view=False)
+            return
+        self.status.start_spinner("Neural pixelization...")
+
+        def work():
+            try:
+                from dither_pie_tpu.pipeline.pixelize import get_neural_pixelizer
+
+                result = get_neural_pixelizer().pixelize(self.current_image, max_size)
+                def done():
+                    self._pixelize_cache[key] = result
+                    self.pixelized_image = result
+                    self.dithered_image = None
+                    self._show(result, "pixelized", keep_view=False)
+                    self.status.stop_spinner("Neural pixelization complete")
+                self.root.after(0, done)
+            except Exception as e:
+                self.root.after(0, lambda: (
+                    self.status.stop_spinner("Neural pixelization failed"),
+                    messagebox.showerror("Neural pixelization", str(e))))
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def open_pixel_editor(self):
+        if self.current_image is None:
+            return
+
+        def apply(img):
+            self.pixelized_image = img
+            self.dithered_image = None
+            self._show(img, "pixelized", keep_view=False)
+
+        PixelizationEditorDialog(self.root, self._active_source(),
+                                 target_size=int(self.max_size_var.get()),
+                                 on_apply=apply)
+
+    # ------------------------------------------------------------ dither
+
+    def open_mode_settings(self):
+        mode = self.mode_var.get()
+        info = ImageDitherer.get_mode_parameters(DitherMode(mode))
+        if not info:
+            messagebox.showinfo("No settings", f"'{mode}' has no parameters.")
+            return
+
+        def on_change(values):
+            self.dither_parameters[mode] = values
+
+        dlg = DitherSettingsDialog(self.root, mode, info,
+                                   self.dither_parameters.get(mode, {}),
+                                   on_change=on_change)
+        self.root.wait_window(dlg)
+        if dlg.result is not None:
+            self.dither_parameters[mode] = dlg.result
+
+    def _palette_options(self, source_img: Image.Image):
+        """(label, palette) choices: generated + palette.json entries."""
+        n = int(self.colors_var.get())
+        opts = [
+            ("Median Cut", ColorReducer.reduce_colors(source_img, n)),
+            ("K-means", ColorReducer.generate_kmeans_palette(source_img, n)),
+            ("Uniform", ColorReducer.generate_uniform_palette(n)),
+        ]
+        mgr = PaletteManager()
+        for pal in mgr.palettes:
+            opts.append((pal["name"], mgr.get_palette_colors_rgb(pal["name"])))
+        return opts
+
+    def apply_dithering_dialog(self):
+        src = self._active_source()
+        if src is None:
+            messagebox.showinfo("No image", "Open an image first.")
+            return
+        PaletteDialog(self, src)
+
+    # ------------------------------------------------------------- video
+
+    def apply_to_video(self):
+        if not self.video_path:
+            messagebox.showinfo("No video", "Open a video first.")
+            return
+        if self.last_palette is None:
+            messagebox.showinfo("No palette",
+                                "Apply dithering to the preview frame first "
+                                "(the same palette is used for the video).")
+            return
+        out = filedialog.asksaveasfilename(defaultextension=".mp4",
+                                           filetypes=[("MP4", "*.mp4")])
+        if not out:
+            return
+        from dither_pie_tpu.pipeline.video import VideoProcessor
+
+        ditherer = self._build_ditherer(list(self.last_palette),
+                                        len(self.last_palette))
+        pixelize_func = None
+        if self.pixelized_image is not None:
+            pixelize_func = ("regular", int(self.max_size_var.get()))
+        try:
+            mult = max(1, int(self.resize_var.get()))
+        except Exception:
+            mult = 1
+
+        dlg = ProgressDialog(self.root, "Processing video")
+        proc = VideoProcessor(progress_callback=dlg.update_progress)
+
+        def work():
+            ok = proc.process_video_streaming(
+                self.video_path, out, ditherer, pixelize_func=pixelize_func,
+                final_resize_multiplier=mult if mult > 1 else None)
+            self.root.after(0, dlg.close)
+            msg = "Video processed!" if ok else "Video processing failed"
+            self.root.after(0, lambda: self.status.set_text(msg))
+
+        threading.Thread(target=work, daemon=True).start()
+
+    # ----------------------------------------------------------- palettes
+
+    def import_lospec(self):
+        url = simpledialog.askstring("Lospec import",
+                                     "Palette URL (lospec.com/palette-list/...):",
+                                     parent=self.root)
+        if not url:
+            return
+        pal = import_lospec_palette(url)
+        if pal is None:
+            messagebox.showerror("Import failed", "Could not fetch palette.")
+            return
+        mgr = PaletteManager()
+        mgr.add_palette(pal["name"], pal["colors"])
+        self.status.set_text(f"Imported palette '{pal['name']}' "
+                             f"({len(pal['colors'])} colors)")
+
+    def palette_from_image(self):
+        path = filedialog.askopenfilename(
+            filetypes=[("Images", " ".join(f"*{e}" for e in IMAGE_EXTENSIONS))])
+        if not path:
+            return
+        img = Image.open(path).convert("RGB")
+        n = int(self.colors_var.get())
+        palette = ColorReducer.generate_kmeans_palette(img, n)
+        name = simpledialog.askstring("Palette name", "Save palette as:",
+                                      initialvalue=Path(path).stem, parent=self.root)
+        if name:
+            from dither_pie_tpu.core.colors import rgb_to_hex
+
+            PaletteManager().add_palette(name, [rgb_to_hex(c) for c in palette])
+            self.status.set_text(f"Saved palette '{name}'")
+
+    def create_palette(self):
+        def save(pal):
+            PaletteManager().add_palette(pal["name"], pal["colors"])
+            self.status.set_text(f"Saved palette '{pal['name']}'")
+
+        CustomPaletteCreator(self.root, on_save=save)
+
+    # -------------------------------------------------------------- misc
+
+    def toggle_view(self):
+        states = [("current", self.current_image),
+                  ("pixelized", self.pixelized_image),
+                  ("dithered", self.dithered_image)]
+        avail = [(name, img) for name, img in states if img is not None]
+        if not avail:
+            return
+        names = [name for name, _ in avail]
+        try:
+            nxt = (names.index(self.display_state) + 1) % len(names)
+        except ValueError:
+            nxt = 0
+        name, img = avail[nxt]
+        self._show(img, name, keep_view=True)
+        self.status.set_text(f"Showing: {name}")
+
+    def _on_close(self):
+        try:
+            self.config.set_window_geometry(self.root.geometry())
+            self.config.set("defaults", "num_colors", int(self.colors_var.get()))
+            self.config.set("defaults", "dither_mode", self.mode_var.get())
+            self.config.set("defaults", "pixelize_max_size", int(self.max_size_var.get()))
+            self.config.set("defaults", "final_resize_multiplier", int(self.resize_var.get()))
+            self.config.set("defaults", "use_gamma", bool(self.gamma_var.get()))
+            self.config.save()
+        except Exception:
+            pass
+        self.root.destroy()
+
+    def run(self):
+        self.root.mainloop()
+
+
+class PaletteDialog(tk.Toplevel):
+    """Palette chooser with live preview rendered into the main viewer.
+
+    Previews generate on a background thread into a 30-entry LRU cache keyed
+    (palette, gamma, mode, params); selecting 'Apply Selected' adopts the
+    cached preview as the dithered image and records palette/gamma for a
+    later 'Apply to Video'."""
+
+    def __init__(self, app: DitheringApp, source_img: Image.Image):
+        super().__init__(app.root)
+        self.title("Choose palette")
+        self.app = app
+        self.source_img = source_img
+        self.options = app._palette_options(source_img)
+        self.var = tk.IntVar(value=0)
+        self._saved_view = app.viewer.get_view_state()
+
+        canvas = tk.Canvas(self, width=330, height=460)
+        scroll = ttk.Scrollbar(self, orient="vertical", command=canvas.yview)
+        inner = ttk.Frame(canvas)
+        inner.bind("<Configure>",
+                   lambda e: canvas.configure(scrollregion=canvas.bbox("all")))
+        canvas.create_window((0, 0), window=inner, anchor="nw")
+        canvas.configure(yscrollcommand=scroll.set)
+        canvas.pack(side="left", fill="both", expand=True)
+        scroll.pack(side="left", fill="y")
+
+        for i, (label, colors) in enumerate(self.options):
+            row = ttk.Frame(inner)
+            row.pack(fill="x", pady=2, padx=4)
+            ttk.Radiobutton(row, text=label, value=i, variable=self.var,
+                            command=self._on_select).pack(anchor="w")
+            PalettePreview(row, colors).pack(anchor="w")
+
+        btns = ttk.Frame(self)
+        btns.pack(side="bottom", fill="x", pady=6)
+        ttk.Button(btns, text="Toggle Original",
+                   command=self._toggle_original).pack(side="left", padx=4)
+        ttk.Button(btns, text="Apply Selected",
+                   command=self._apply).pack(side="right", padx=4)
+        ttk.Button(btns, text="Cancel", command=self._cancel).pack(side="right")
+
+        self._showing_original = False
+        self._on_select()
+
+    def _cache_key(self) -> str:
+        label, colors = self.options[self.var.get()]
+        mode = self.app.mode_var.get()
+        params = self.app._params_for_mode(mode)
+        return f"{label}|{colors}|{self.app.gamma_var.get()}|{mode}|{sorted(params.items())}"
+
+    def _on_select(self):
+        key = self._cache_key()
+        cache = self.app._preview_cache
+        if key in cache:
+            cache.move_to_end(key)
+            self._display(cache[key])
+            return
+        self.app.status.start_spinner("Generating preview...")
+        self.app._preview_generation[0] += 1
+        gen = self.app._preview_generation[0]
+        label, colors = self.options[self.var.get()]
+        ditherer = self.app._build_ditherer(list(colors), len(colors))
+        src = self.source_img
+
+        def work():
+            try:
+                preview = ditherer.apply_dithering(src)
+            except Exception as e:
+                self.app.root.after(0, lambda: self.app.status.stop_spinner(
+                    f"Preview failed: {e}"))
+                return
+
+            def done():
+                if gen != self.app._preview_generation[0]:
+                    return  # superseded by a newer selection
+                cache[key] = preview
+                while len(cache) > PREVIEW_CACHE_SIZE:
+                    cache.popitem(last=False)
+                self._display(preview)
+                self.app.status.stop_spinner("Preview ready")
+
+            self.app.root.after(0, done)
+
+        threading.Thread(target=work, daemon=True).start()
+
+    def _display(self, img: Image.Image):
+        view = self.app.viewer.get_view_state()
+        self.app.viewer.set_image(img, keep_view=True)
+        self.app.viewer.set_view_state(view)
+        self._showing_original = False
+
+    def _toggle_original(self):
+        if self._showing_original:
+            key = self._cache_key()
+            if key in self.app._preview_cache:
+                self._display(self.app._preview_cache[key])
+        else:
+            view = self.app.viewer.get_view_state()
+            self.app.viewer.set_image(self.source_img, keep_view=True)
+            self.app.viewer.set_view_state(view)
+            self._showing_original = True
+
+    def _apply(self):
+        key = self._cache_key()
+        label, colors = self.options[self.var.get()]
+        preview = self.app._preview_cache.get(key)
+        if preview is None:
+            messagebox.showinfo("Preview pending",
+                                "Wait for the preview to finish.")
+            return
+        self.app.dithered_image = preview
+        self.app.last_palette = list(colors)
+        self.app.last_gamma = self.app.gamma_var.get()
+        self.app._show(preview, "dithered", keep_view=True)
+        self.app.status.set_text(f"Dithered with '{label}'")
+        self.destroy()
+
+    def _cancel(self):
+        self.app.viewer.set_view_state(self._saved_view)
+        src = self.app.dithered_image or self.app._active_source()
+        if src is not None:
+            self.app.viewer.set_image(src, keep_view=True)
+        self.destroy()
+
+
+def launch_gui():
+    try:
+        app = DitheringApp()
+    except tk.TclError as e:
+        raise SystemExit(
+            f"Cannot start GUI ({e}). On a headless machine use the CLI: "
+            f"python -m dither_pie_tpu <config.json>")
+    app.run()

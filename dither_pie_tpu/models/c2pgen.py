@@ -1,0 +1,159 @@
+"""C2PGen (clipart -> pixel-art generator), AliasNet, and the VGG19 feature
+pyramid — functional JAX forward passes over converted torch params.
+
+Architecture per /root/reference/models/c2pGen.py with
+define_G('c2pGen') = C2PGen(3, 3, 64, n_down=2, n_res=4, style=256, mlp=256)
+and define_G('antialias') = AliasNet(3, 3, 64, 2, 3). Reference quirks that
+are load-bearing for output parity and therefore reproduced:
+
+* RGBDecoder.forward applies mod_conv_1 once and then reuses mod_conv_2 for
+  the remaining SEVEN modulated convs (c2pGen.py:242-258) — the weights of
+  mod_conv_3..8 exist in the checkpoint but are never used;
+* the VGG feature taps are the raw conv outputs (pre-ReLU) at torchvision
+  feature indices 0 / 5 / 10 / 19 (c2pGen.py:160-169);
+* the MLP is 3 ReLU linear blocks + a final affine to 2048 (a == 0 collapses
+  the two-style interpolation, basic_layer.py:158-175).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax.numpy as jnp
+
+from dither_pie_tpu.models.layers import (
+    Params,
+    conv2d,
+    conv_block,
+    instance_norm,
+    linear_block,
+    max_pool_2x2,
+    modulated_conv,
+    pad2d,
+    res_blocks,
+    upsample_nearest_2x,
+)
+
+# torchvision vgg19.features conv indices up to conv4_1, with pool positions.
+_VGG_LAYOUT = [
+    ("conv", 0), ("relu", None), ("conv", 2), ("relu", None), ("pool", None),
+    ("conv", 5), ("relu", None), ("conv", 7), ("relu", None), ("pool", None),
+    ("conv", 10), ("relu", None), ("conv", 12), ("relu", None),
+    ("conv", 14), ("relu", None), ("conv", 16), ("relu", None), ("pool", None),
+    ("conv", 19), ("relu", None),
+]
+_VGG_TAPS = {0: "conv1_1", 5: "conv2_1", 10: "conv3_1", 19: "conv4_1"}
+
+
+def vgg_features(p: Params, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Taps at conv1_1 / conv2_1 / conv3_1 / conv4_1 (NHWC).
+
+    The reference nominally captures the conv outputs, but its ReLUs are
+    ``inplace=True`` and mutate the captured tensors as iteration continues
+    (c2pGen.py:160-169) — so the taps are effectively POST-ReLU. Reproduced
+    here by recording after the activation.
+    """
+    taps = {}
+    pending = None
+    for kind, idx in _VGG_LAYOUT:
+        if kind == "conv":
+            x = pad2d(x, 1, "zero")
+            x = conv2d(x, p[f"vgg.{idx}.weight"], p[f"vgg.{idx}.bias"])
+            pending = _VGG_TAPS.get(idx)
+        elif kind == "relu":
+            x = jnp.maximum(x, 0.0)
+            if pending:
+                taps[pending] = x
+                pending = None
+        else:
+            x = max_pool_2x2(x)
+    return taps
+
+
+def rgb_encoder(p: Params, key: str, x: jnp.ndarray) -> jnp.ndarray:
+    """7x7 conv + 2 stride-2 downs + 4 resblocks, instance norm, reflect."""
+    x = conv_block(p, f"{key}.model.0", x, 1, 3, "in", "relu", "reflect")
+    x = conv_block(p, f"{key}.model.1", x, 2, 1, "in", "relu", "reflect")
+    x = conv_block(p, f"{key}.model.2", x, 2, 1, "in", "relu", "reflect")
+    return res_blocks(p, f"{key}.model.3", x, 4, "in", "relu", "reflect")
+
+
+def pixel_block_encoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """VGG-pyramid style encoder -> (B, 256) style code."""
+    taps = vgg_features(p, x)
+    x = conv_block(p, "PBEnc.conv1", x, 1, 3, "none", "relu", "reflect")
+    x = jnp.concatenate([x, taps["conv1_1"]], axis=-1)
+    x = conv_block(p, "PBEnc.conv2", x, 2, 1, "none", "relu", "reflect")
+    x = jnp.concatenate([x, taps["conv2_1"]], axis=-1)
+    x = conv_block(p, "PBEnc.conv3", x, 2, 1, "none", "relu", "reflect")
+    x = jnp.concatenate([x, taps["conv3_1"]], axis=-1)
+    x = conv_block(p, "PBEnc.conv4", x, 2, 1, "none", "relu", "reflect")
+    x = jnp.concatenate([x, taps["conv4_1"]], axis=-1)
+    # AdaptiveAvgPool2d(1) + 1x1 conv to style_dim.
+    x = jnp.mean(x, axis=(1, 2), keepdims=True)
+    x = conv2d(x, p["PBEnc.model.1.weight"], p["PBEnc.model.1.bias"])
+    return x.reshape(x.shape[0], -1)  # (B, 256)
+
+
+def style_mlp(p: Params, code: jnp.ndarray) -> jnp.ndarray:
+    """3 relu linear blocks + final affine -> (B, 2048) adain params."""
+    x = code
+    for i in range(3):
+        x = linear_block(p, f"MLP.model.{i}", x, "relu")
+    return linear_block(p, "MLP.model.3", x, "none")
+
+
+def rgb_decoder(p: Params, key: str, x: jnp.ndarray,
+                code: jnp.ndarray) -> jnp.ndarray:
+    """8 modulated convs in 4 residual pairs (with the reference's
+    mod_conv_2 reuse quirk) -> 2 upsample+LN-conv stages -> 7x7 tanh conv."""
+    c = lambda i: code[:, 256 * i: 256 * (i + 1)]
+    residual = x
+    x = modulated_conv(p, f"{key}.mod_conv_1", x, c(0))
+    x = modulated_conv(p, f"{key}.mod_conv_2", x, c(1))
+    x = x + residual
+    residual = x
+    x = modulated_conv(p, f"{key}.mod_conv_2", x, c(2))
+    x = modulated_conv(p, f"{key}.mod_conv_2", x, c(3))
+    x = x + residual
+    residual = x
+    x = modulated_conv(p, f"{key}.mod_conv_2", x, c(4))
+    x = modulated_conv(p, f"{key}.mod_conv_2", x, c(5))
+    x = x + residual
+    residual = x
+    x = modulated_conv(p, f"{key}.mod_conv_2", x, c(6))
+    x = modulated_conv(p, f"{key}.mod_conv_2", x, c(7))
+    x = x + residual
+    x = upsample_nearest_2x(x)
+    x = conv_block(p, f"{key}.conv_1", x, 1, 2, "ln", "relu", "reflect")
+    x = upsample_nearest_2x(x)
+    x = conv_block(p, f"{key}.conv_2", x, 1, 2, "ln", "relu", "reflect")
+    return conv_block(p, f"{key}.conv_3", x, 1, 3, "none", "tanh", "reflect")
+
+
+def c2pgen_forward(p: Params, clipart: jnp.ndarray,
+                   reference: jnp.ndarray, s: float = 1.0) -> jnp.ndarray:
+    """Full generator: (B,H,W,3) in [-1,1] -> (B,H,W,3) in [-1,1]."""
+    feature = rgb_encoder(p, "RGBEnc", clipart)
+    code = pixel_block_encoder(p, reference)
+    adain = style_mlp(p, code) * s
+    return rgb_decoder(p, "RGBDec", feature, adain)
+
+
+# ---------------------------------------------------------------------------
+# AliasNet
+# ---------------------------------------------------------------------------
+
+
+def aliasnet_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Anti-aliasing net: encoder (in-norm) + decoder, reflect padding."""
+    x = conv_block(p, "RGBEnc.model.0", x, 1, 3, "in", "relu", "reflect")
+    x = conv_block(p, "RGBEnc.model.1", x, 2, 1, "in", "relu", "reflect")
+    x = conv_block(p, "RGBEnc.model.2", x, 2, 1, "in", "relu", "reflect")
+    x = res_blocks(p, "RGBEnc.model.3", x, 3, "in", "relu", "reflect")
+    x = res_blocks(p, "RGBDec.Res_Blocks", x, 3, "in", "relu", "reflect")
+    x = upsample_nearest_2x(x)
+    x = conv_block(p, "RGBDec.conv_1", x, 1, 2, "ln", "relu", "reflect")
+    x = upsample_nearest_2x(x)
+    x = conv_block(p, "RGBDec.conv_2", x, 1, 2, "ln", "relu", "reflect")
+    return conv_block(p, "RGBDec.conv_3", x, 1, 3, "none", "tanh", "reflect")

@@ -1,0 +1,104 @@
+"""Neural pixelization inference: the reference Model surface
+(/root/reference/models/pixelization.py:12-83) on JAX.
+
+Flow (parity-exact):
+  greyscale reference.png -> process() [center-crop to %4, [-1,1]] (cached)
+  input -> process() -> alias_net(c2pgen(input, ref)) -> denorm ->
+  /4 then x4 NEAREST (crisp 4x4 blocks) -> save/return.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from dither_pie_tpu.models.c2pgen import aliasnet_forward, c2pgen_forward
+from dither_pie_tpu.models.convert import convert_checkpoints, find_checkpoint_dir
+from dither_pie_tpu.utils import compute_even_dimensions
+
+_REFERENCE_PNG = Path(__file__).resolve().parents[1] / "assets" / "reference.png"
+
+
+def greyscale(img: Image.Image) -> Image.Image:
+    gray = np.array(img.convert("L"))
+    return Image.fromarray(np.stack([gray, gray, gray], axis=-1))
+
+
+def process(img: Image.Image) -> np.ndarray:
+    """Center-crop to a multiple of 4, scale to [-1, 1], NHWC float32."""
+    ow, oh = img.size
+    nw = int(round(ow / 4) * 4)
+    nh = int(round(oh / 4) * 4)
+    left = (ow - nw) // 2
+    top = (oh - nh) // 2
+    img = img.crop((left, top, left + nw, top + nh))
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    return ((arr - 0.5) / 0.5)[None]  # (1, H, W, 3)
+
+
+def deprocess(out: np.ndarray) -> Image.Image:
+    """[-1,1] -> uint8 image, then /4 + x4 NEAREST for crisp 4x4 blocks."""
+    img = ((out[0] + 1) / 2.0 * 255.0).astype(np.uint8)
+    pil = Image.fromarray(img)
+    pil = pil.resize((pil.size[0] // 4, pil.size[1] // 4), Image.Resampling.NEAREST)
+    pil = pil.resize((pil.size[0] * 4, pil.size[1] * 4), Image.Resampling.NEAREST)
+    return pil
+
+
+def resize_image_nearest(img: Image.Image, target_size: int) -> Image.Image:
+    """Smallest side -> target_size, NEAREST (reference resize_image)."""
+    width, height = img.size
+    ar = width / height
+    if width < height:
+        nw, nh = target_size, int(target_size / ar)
+    else:
+        nh, nw = target_size, int(target_size * ar)
+    return img.resize((nw, nh), Image.NEAREST)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _forward(gen_params, alias_params, in_t, ref_t):
+    return aliasnet_forward(alias_params, c2pgen_forward(gen_params, in_t, ref_t))
+
+
+class PixelizationModel:
+    """load() + pixelize() surface matching the reference Model class."""
+
+    def __init__(self, checkpoint_dir: Optional[str] = None):
+        self.checkpoint_dir = checkpoint_dir
+        self.gen_params = None
+        self.alias_params = None
+        self.ref_t = None
+
+    def load(self):
+        ckpt = self.checkpoint_dir or find_checkpoint_dir()
+        gen, alias = convert_checkpoints(ckpt)
+        self.gen_params = {k: jnp.asarray(v) for k, v in gen.items()}
+        self.alias_params = {k: jnp.asarray(v) for k, v in alias.items()}
+        ref_img = greyscale(Image.open(_REFERENCE_PNG).convert("L"))
+        self.ref_t = jnp.asarray(process(ref_img))
+
+    def forward_array(self, in_t: np.ndarray) -> np.ndarray:
+        """(1, H, W, 3) in [-1, 1] -> same, through G_A + alias nets."""
+        out = _forward(self.gen_params, self.alias_params,
+                       jnp.asarray(in_t), self.ref_t)
+        return np.asarray(out)
+
+    def pixelize(self, in_path: str, out_path: str):
+        img = Image.open(in_path).convert("RGB")
+        deprocess(self.forward_array(process(img))).save(out_path)
+
+    def pixelize_image(self, image: Image.Image, max_size: int) -> Image.Image:
+        """The NeuralPixelizer flow (video_processor.py:505-545): upscale to
+        max_size*4, run the nets, then NEAREST-resize to even dims at
+        max_size."""
+        img = resize_image_nearest(image.convert("RGB"), max_size * 4)
+        result = deprocess(self.forward_array(process(img)))
+        tw, th = compute_even_dimensions(result.size[0], result.size[1], max_size)
+        return result.resize((tw, th), Image.Resampling.NEAREST)

@@ -73,3 +73,19 @@ def ordered_dither_batch(
 def screen_for_matrix(matrix: np.ndarray, h: int, w: int) -> jnp.ndarray:
     """Host helper: tiled device screen from a small host matrix."""
     return tile_screen_device(jnp.asarray(matrix, dtype=jnp.float32), h, w)
+
+
+def dispatch_ordered_batch(images: jnp.ndarray, palette: jnp.ndarray,
+                           screen: jnp.ndarray) -> jnp.ndarray:
+    """Pick the fused Pallas kernel on accelerators (~5 B/pixel of HBM
+    traffic) or the XLA path on CPU (where interpret-mode Pallas is slow).
+    Bit-identical results either way."""
+    import jax
+
+    from dither_pie_tpu.ops.ordered_pallas import ordered_dither_fused
+
+    b, h, w, _ = images.shape
+    on_accel = jax.default_backend() not in ("cpu",)
+    if on_accel and b * h * w >= 64 * 64 and palette.shape[0] <= 256:
+        return ordered_dither_fused(images, palette, screen, interpret=False)
+    return ordered_dither_batch(images, palette, screen)

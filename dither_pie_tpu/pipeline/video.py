@@ -30,6 +30,7 @@ import numpy as np
 from PIL import Image
 
 from dither_pie_tpu.api.ditherer import ImageDitherer, PixelizeMethod
+from dither_pie_tpu.api.profiling import stage
 from dither_pie_tpu.pipeline import ffio
 from dither_pie_tpu.pipeline.pixelize import get_neural_pixelizer, pixelize_regular
 
@@ -84,7 +85,8 @@ def process_frames(
     def run_batch(arrs: List[np.ndarray]) -> List[Optional[np.ndarray]]:
         stacked = np.stack(arrs)
         try:
-            out = ditherer.apply_dithering_batch(stacked)
+            with stage("video.dither_batch"):
+                out = ditherer.apply_dithering_batch(stacked)
             return [out[i] for i in range(len(arrs))]
         except Exception as e:
             logger.warning(f"Batch dither failed ({e}); retrying per frame")
@@ -106,7 +108,8 @@ def process_frames(
             return
         # Pixelization is per-frame host-side (PIL); sizes may change, so it
         # happens before batch assembly.
-        pix = [_pixelize_frame(a, method, max_size) for a in batch]
+        with stage("video.pixelize"):
+            pix = [_pixelize_frame(a, method, max_size) for a in batch]
         results = run_batch(pix)
         batch.clear()
         for res in results:

@@ -1,0 +1,151 @@
+"""Neural pixelizer parity: the JAX port vs the reference torch models.
+
+The environment has no torchvision and no released checkpoints, so we:
+  * stub torchvision with a faithful vgg19 feature/classifier layout,
+  * instantiate the reference C2PGen / AliasNet with random weights,
+  * convert those exact weights with models/convert.py,
+  * compare forward passes numerically.
+This validates architecture + conversion end to end; with the real
+checkpoints the same code path reproduces the reference outputs.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from dither_pie_tpu.models.c2pgen import (aliasnet_forward, c2pgen_forward,
+                                          vgg_features)  # noqa: E402
+from dither_pie_tpu.models.convert import (convert_aliasnet_state,
+                                           convert_generator_state)  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def _build_vgg19():
+    """torchvision-compatible vgg19 module (features indices match)."""
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+           512, 512, 512, 512, "M", 512, 512, 512, 512, "M"]
+    layers = []
+    in_c = 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(in_c, v, 3, padding=1))
+            layers.append(nn.ReLU(inplace=True))
+            in_c = v
+    m = nn.Module()
+    m.features = nn.Sequential(*layers)
+    m.classifier = nn.Sequential(
+        nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+        nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+        nn.Linear(4096, 1000))
+    m.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+    return m
+
+
+@pytest.fixture(scope="module")
+def reference_models():
+    """Reference torch C2PGen + AliasNet with random weights."""
+    # Stub torchvision before importing the reference models package.
+    tv = types.ModuleType("torchvision")
+    tv_models = types.ModuleType("torchvision.models")
+    tv_models.vgg19 = lambda pretrained=False: _build_vgg19()
+    tv.models = tv_models
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.models", tv_models)
+
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    # PixelBlockEncoder.__init__ unconditionally torch.load()s the vgg
+    # checkpoint; feed it a random one.
+    vgg_full = _build_vgg19()
+    vgg_full.classifier[6] = nn.Linear(4096, 7, bias=True)
+    vgg_state = vgg_full.state_dict()
+    real_load = torch.load
+    torch.load = lambda *a, **k: vgg_state
+    try:
+        torch.manual_seed(0)
+        from models.c2pGen import AliasNet, C2PGen
+
+        gen = C2PGen(3, 3, 64, 2, 4, 256, 256).eval()
+        alias = AliasNet(3, 3, 64, 2, 3).eval()
+    finally:
+        torch.load = real_load
+    return gen, alias
+
+
+def _to_nhwc(t):
+    return np.asarray(t.detach()).transpose(0, 2, 3, 1)
+
+
+def _to_nchw(a):
+    return torch.from_numpy(np.ascontiguousarray(a.transpose(0, 3, 1, 2)))
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.RandomState(0)
+    clip = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    ref = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    return clip, ref
+
+
+def test_vgg_feature_taps(reference_models, inputs):
+    gen, _ = reference_models
+    clip, ref = inputs
+    params = convert_generator_state(
+        {k: v.numpy() for k, v in gen.state_dict().items()})
+    taps = vgg_features({k: jnp.asarray(v) for k, v in params.items()},
+                        jnp.asarray(ref))
+    with torch.no_grad():
+        ref_taps = gen.PBEnc.get_features(_to_nchw(ref), gen.PBEnc.vgg)
+    for name in ["conv1_1", "conv2_1", "conv3_1", "conv4_1"]:
+        ours = np.asarray(taps[name])
+        theirs = _to_nhwc(ref_taps[name])
+        np.testing.assert_allclose(ours, theirs, atol=2e-4,
+                                   err_msg=f"vgg tap {name}")
+
+
+def test_c2pgen_forward_parity(reference_models, inputs):
+    gen, _ = reference_models
+    clip, ref = inputs
+    params = {k: jnp.asarray(v) for k, v in convert_generator_state(
+        {k: v.numpy() for k, v in gen.state_dict().items()}).items()}
+    ours = np.asarray(c2pgen_forward(params, jnp.asarray(clip), jnp.asarray(ref)))
+    with torch.no_grad():
+        theirs = _to_nhwc(gen(_to_nchw(clip), _to_nchw(ref)))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_aliasnet_forward_parity(reference_models, inputs):
+    _, alias = reference_models
+    clip, _ = inputs
+    params = {k: jnp.asarray(v) for k, v in convert_aliasnet_state(
+        {k: v.numpy() for k, v in alias.state_dict().items()}).items()}
+    ours = np.asarray(aliasnet_forward(params, jnp.asarray(clip)))
+    with torch.no_grad():
+        theirs = _to_nhwc(alias(_to_nchw(clip)))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_full_pipeline_shapes(reference_models, inputs):
+    """alias(c2pgen(x)) through the JAX port keeps shape and [-1,1] range."""
+    gen, alias = reference_models
+    clip, ref = inputs
+    gp = {k: jnp.asarray(v) for k, v in convert_generator_state(
+        {k: v.numpy() for k, v in gen.state_dict().items()}).items()}
+    ap = {k: jnp.asarray(v) for k, v in convert_aliasnet_state(
+        {k: v.numpy() for k, v in alias.state_dict().items()}).items()}
+    out = aliasnet_forward(ap, c2pgen_forward(gp, jnp.asarray(clip), jnp.asarray(ref)))
+    out = np.asarray(out)
+    assert out.shape == clip.shape
+    assert np.all(out >= -1.001) and np.all(out <= 1.001)
