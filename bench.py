@@ -79,7 +79,7 @@ def main():
             for i in range(k):
                 out = ordered_dither_fused(
                     jnp.bitwise_xor(frames, jnp.uint8(i)), palette16, screen,
-                    interpret=platform == "cpu")
+                    interpret=platform == "cpu", bucket=False)
                 acc = acc + out[0, 0, 0, 0].astype(jnp.uint32) + out[-1, -1, -1, -1]
             return acc
         return lambda: f(frames, palette16, screen)
@@ -94,23 +94,26 @@ def main():
 
     B_B = 8
     pal32 = rng.randint(0, 256, (32, 3)).astype(np.float32)
-    call, s, h_frame, hp, pp, d_pad = wf._compiled(
-        "fixed", "floyd_steinberg", H, W, 32, B_B, 1.0, 0.2,
-        platform == "cpu")
+    s, n_slots = wf._scan_params("fixed", "floyd_steinberg")
+    chunk = wf._chunk_for(n_slots)
+    lf, _, pp, d_pad = wf._plan(H, W, 32, 1, s, chunk, bucket=False)
+    call = wf._compiled_packed("fixed", "floyd_steinberg", d_pad, B_B, lf,
+                               pp, 1.0, 0.2, platform == "cpu")
     imgs = jnp.asarray(rng.randint(0, 256, (B_B, H, W, 3)).astype(np.float32))
-    sk = wf._skew(imgs, s, h_frame, d_pad)
-    pal_dev = jnp.asarray(wf._pad_palette(pal32, pp))
+    sk = wf._skew_packed(imgs, s, lf, d_pad)
+    pal_dev = jnp.asarray(wf._pad_palette_packed(pal32, pp, B_B))
     aux = jnp.zeros((1, 8), jnp.float32)
+    dims = jnp.asarray(np.array([W, H], dtype=np.int32))
 
     def fs_many(k):
         @jax.jit
-        def f(sk, pal_dev, aux):
+        def f(dims, sk, pal_dev, aux):
             acc = jnp.zeros((), jnp.int32)
             for i in range(k):
-                out = call(sk + jnp.float32(i) * jnp.float32(1e-6), pal_dev, aux)
-                acc = acc + out[0, 0] + out[-1, -1]
+                out = call(dims, sk + jnp.float32(i) * jnp.float32(1e-6), pal_dev, aux)
+                acc = acc + out[0, 0, 0] + out[-1, -1, -1]
             return acc
-        return lambda: f(sk, pal_dev, aux)
+        return lambda: f(dims, sk, pal_dev, aux)
 
     per_b = timed_pair(fs_many(1), fs_many(3), 3)
     fs_fps = B_B / per_b

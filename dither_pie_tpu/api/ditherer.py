@@ -795,6 +795,18 @@ class HalftoneDitherStrategy(BaseDitherStrategy):
         )
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
 
+    def dither_batch(self, images, palette_arr):
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        screen, cell_idx, n_cells = _halftone.halftone_screen(
+            h, w, self.cell_size, self.angle, self.dot_gain,
+            self.min_dot_size, self.max_dot_size, self.shape, self.sharpness,
+        )
+        out = _halftone.halftone_dither_batch(
+            jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal),
+            jnp.asarray(screen), jnp.asarray(cell_idx), n_cells)
+        return np.asarray(out).astype(np.float32)
+
 
 # -------------------- ColorReducer --------------------
 

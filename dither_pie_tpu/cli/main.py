@@ -285,6 +285,8 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument("--quiet", "-q", action="store_true")
     parser.add_argument("--log-file", type=str)
+    parser.add_argument("--resume", action="store_true",
+                        help="segmented video processing with checkpoint/resume")
     args = parser.parse_args(argv)
 
     if args.help:
@@ -356,7 +358,7 @@ def main(argv: Optional[list] = None) -> int:
         if config["mode"] == "image":
             success = process_single_image(config)
         elif config["mode"] == "video":
-            success = process_single_video(config)
+            success = process_single_video(config, resume=args.resume)
         else:
             success = process_folder(config)
     except KeyboardInterrupt:

@@ -108,3 +108,17 @@ def halftone_dither(
     place_ink = (jnp.float32(1.0) - gray_norm) > screen
     idx_map = jnp.where(place_ink, cell_pal[cell_idx], paper_idx)
     return jnp.take(palette, idx_map.reshape(-1), axis=0).reshape(h, w, 3).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells",))
+def halftone_dither_batch(
+    images: jnp.ndarray,
+    palette: jnp.ndarray,
+    screen: jnp.ndarray,
+    cell_idx: jnp.ndarray,
+    n_cells: int,
+) -> jnp.ndarray:
+    """Batched halftone: (B, H, W, 3) with shared screen/cell layout."""
+    return jax.vmap(
+        lambda im: halftone_dither(im, palette, screen, cell_idx, n_cells)
+    )(images)

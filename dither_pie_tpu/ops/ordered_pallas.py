@@ -73,14 +73,23 @@ def _build(p_count: int, th: int, wp: int):
     return kernel
 
 
+_W_BUCKETS = [128, 256, 512, 768, 1024, 1280, 1536, 1920, 2560, 3840, 4096,
+              5120, 7680, 8192]
+_ROW_BUCKETS = [128, 256, 512, 1024, 2048, 4096, 8192, 9216, 16384, 18432,
+                32768, 65536]
+
+
+def _bucketed(x: int, buckets) -> int:
+    for b in buckets:
+        if x <= b:
+            return b
+    return _round_up(x, buckets[-1])
+
+
 @functools.lru_cache(maxsize=32)
-def _compiled(p_count: int, rows: int, w: int, interpret: bool):
-    wp = _round_up(w, LANE)
-    # ~14 live (th, wp) f32 buffers; keep the working set well under VMEM.
-    th = max(32, min(256, (5 * 1024 * 1024) // (wp * 4 * 14) // 32 * 32))
-    rp = _round_up(rows, th)
+def _compiled_padded(p_count: int, rp: int, wp: int, th: int, interpret: bool):
     kernel = _build(p_count, th, wp)
-    call = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(rp // th,),
         in_specs=[
@@ -92,6 +101,23 @@ def _compiled(p_count: int, rows: int, w: int, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((3, rp, wp), jnp.uint8),
         interpret=interpret,
     )
+
+
+def _compiled(p_count: int, rows: int, w: int, interpret: bool,
+              bucket: bool = True):
+    wp = _round_up(w, LANE)
+    if bucket:
+        # Collapse nearby shapes onto one compiled program (compiles via the
+        # dev tunnel cost minutes; padded lanes/rows just compute garbage
+        # that the caller slices off).
+        wp = _bucketed(wp, _W_BUCKETS)
+        p_count = max(2, 1 << (p_count - 1).bit_length())
+    # ~14 live (th, wp) f32 buffers; keep the working set well under VMEM.
+    th = max(32, min(256, (5 * 1024 * 1024) // (wp * 4 * 14) // 32 * 32))
+    rp = _round_up(rows, th)
+    if bucket:
+        rp = _round_up(_bucketed(rp, _ROW_BUCKETS), th)
+    call = _compiled_padded(p_count, rp, wp, th, interpret)
     return call, th, wp, rp
 
 
@@ -102,19 +128,34 @@ def _prep_planar_u8(images: jnp.ndarray, rp: int, wp: int):
     return jnp.pad(x, ((0, 0), (0, rp - b * h), (0, wp - w)))
 
 
+def _pad_palette_sentinel(palette: jnp.ndarray, p_pad: int) -> jnp.ndarray:
+    """(P, 3) -> (3, p_pad) with far-away sentinels that never win argmin."""
+    pal = jnp.asarray(palette, jnp.float32)
+    if p_pad > pal.shape[0]:
+        pad = jnp.full((p_pad - pal.shape[0], 3), 1.0e6, jnp.float32)
+        pal = jnp.concatenate([pal, pad], axis=0)
+    return pal.T
+
+
 def ordered_dither_fused(images: jnp.ndarray, palette: jnp.ndarray,
-                         screen: jnp.ndarray, interpret: bool | None = None) -> jnp.ndarray:
-    """(B, H, W, 3) u8 frames + (P, 3) palette + (H, W) screen -> (B, H, W, 3) u8."""
+                         screen: jnp.ndarray, interpret: bool | None = None,
+                         bucket: bool = True) -> jnp.ndarray:
+    """(B, H, W, 3) u8 frames + (P, 3) palette + (H, W) screen -> (B, H, W, 3) u8.
+
+    ``bucket=False`` compiles for the exact shape (steady-state video /
+    benchmarks); the default buckets shapes to limit recompiles.
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, w, _ = images.shape
     p_count = int(palette.shape[0])
-    call, th, wp, rp = _compiled(p_count, b * h, w, bool(interpret))
+    call, th, wp, rp = _compiled(p_count, b * h, w, bool(interpret), bucket)
 
     planar = _prep_planar_u8(jnp.asarray(images), rp, wp)
     screen_full = jnp.tile(jnp.asarray(screen, jnp.float32), (b, 1))
     screen_full = jnp.pad(screen_full, ((0, rp - b * h), (0, wp - w)))
-    pal_smem = jnp.asarray(palette, jnp.float32).T  # (3, P)
+    pal_smem = _pad_palette_sentinel(palette, max(
+        p_count, (max(2, 1 << (p_count - 1).bit_length()) if bucket else p_count)))
 
     out = call(planar, screen_full, pal_smem)  # (3, rp, wp) u8
     out = out[:, : b * h, : w].reshape(3, b, h, w).transpose(1, 2, 3, 0)

@@ -88,8 +88,8 @@ def _chunk_for(n_slots: int) -> int:
 
 
 def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
-                  chunk: int, hp: int, pp: int, h_frame: int, h_real: int,
-                  w_real: int, lum_factor: float = 1.0, col_factor: float = 0.2,
+                  chunk: int, hp: int, pp: int, h_frame: int,
+                  lum_factor: float = 1.0, col_factor: float = 0.2,
                   interpret: bool = False):
     """Returns the pallas_call for a given static configuration.
 
@@ -97,6 +97,11 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
     hp: total folded lane extent (frames * h_frame). pp: padded palette size.
     Streams `chunk` skewed columns per grid iteration; the error state
     (n_slots, 3, hp) persists in VMEM scratch across iterations.
+
+    The real image extent (w, h) arrives as runtime scalars (SMEM), so one
+    compiled program serves every image whose padded geometry matches —
+    shape-bucketing keeps recompiles rare (compiles through the dev tunnel
+    cost minutes).
     """
     if mode == "fixed":
         entries = _fixed_entries(variant)
@@ -108,8 +113,10 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
     clamp_before = mode in ("fixed", "ostromoukhov", "hybrid")
     has_aux_stream = mode in ("perceptual", "adaptive")
 
-    def kernel(img_ref, pal_ref, aux_ref, idx_ref, err_buf):
+    def kernel(dims_ref, img_ref, pal_ref, aux_ref, idx_ref, err_buf):
         g = pl.program_id(0)
+        w_real = dims_ref[0]
+        h_real = dims_ref[1]
 
         # Scratch is uninitialized; clear every slot on the first iteration.
         @pl.when(g == 0)
@@ -197,6 +204,7 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
         kernel,
         grid=(n_chunks,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dims (2,) int32: (w, h)
             pl.BlockSpec((3, chunk, hp), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # palette (pp, 3)
             (pl.BlockSpec((1, chunk, hp), lambda g: (0, g, 0), memory_space=pltpu.VMEM)
@@ -218,11 +226,19 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
 # ---------------------------------------------------------------------------
 
 
-def _plan(h: int, w: int, p: int, batch: int, s: int, chunk: int):
+def _plan(h: int, w: int, p: int, batch: int, s: int, chunk: int,
+          bucket: bool = True):
     h_frame = _round_up(h + 4, LANE)  # +4 dead rows so dy<=2 rolls can't leak
     hp = h_frame * batch
     pp = _round_up(max(p, 8), 8)
     d_pad = _round_up(w + s * (h - 1), chunk)
+    if bucket:
+        # Collapse nearby shapes onto one compiled program: pad the scan
+        # length to 256-step granularity (<= ~6% extra steps at 1080p) and
+        # the palette to a power-of-two-ish size (sentinel entries never
+        # win the argmin).
+        pp = max(8, 1 << (pp - 1).bit_length())
+        d_pad = _round_up(_round_up(d_pad, 256), chunk)
     return h_frame, hp, pp, d_pad
 
 
@@ -260,20 +276,32 @@ def _pad_palette(pal: np.ndarray, pp: int) -> np.ndarray:
     return out
 
 
-@functools.lru_cache(maxsize=64)
-def _compiled(mode: str, variant: str, h: int, w: int, p: int, batch: int,
-              lum_factor: float, col_factor: float, interpret: bool):
+def _scan_params(mode: str, variant: str):
     if mode == "fixed":
-        s, n_slots = _skew_params(get_kernel(variant)["weights"])
-    elif mode == "ostromoukhov":
-        s, n_slots = 2, 3
-    else:
-        s, n_slots = _skew_params([(1, 0, 7), (-1, 1, 3), (0, 1, 5), (1, 1, 1)])
+        return _skew_params(get_kernel(variant)["weights"])
+    if mode == "ostromoukhov":
+        return 2, 3
+    return _skew_params([(1, 0, 7), (-1, 1, 3), (0, 1, 5), (1, 1, 1)])
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_padded(mode: str, variant: str, d_pad: int, hp: int, pp: int,
+                     h_frame: int, lum_factor: float, col_factor: float,
+                     interpret: bool):
+    s, n_slots = _scan_params(mode, variant)
     chunk = _chunk_for(n_slots)
-    h_frame, hp, pp, d_pad = _plan(h, w, p, batch, s, chunk)
-    call = _build_kernel(mode, variant, s, n_slots, d_pad, chunk, hp, pp,
-                         h_frame, h, w, lum_factor, col_factor,
-                         interpret=interpret)
+    return _build_kernel(mode, variant, s, n_slots, d_pad, chunk, hp, pp,
+                         h_frame, lum_factor, col_factor, interpret=interpret)
+
+
+def _compiled(mode: str, variant: str, h: int, w: int, p: int, batch: int,
+              lum_factor: float, col_factor: float, interpret: bool,
+              bucket: bool = True):
+    s, n_slots = _scan_params(mode, variant)
+    chunk = _chunk_for(n_slots)
+    h_frame, hp, pp, d_pad = _plan(h, w, p, batch, s, chunk, bucket=bucket)
+    call = _compiled_padded(mode, variant, d_pad, hp, pp, h_frame,
+                            lum_factor, col_factor, interpret)
     return call, s, h_frame, hp, pp, d_pad
 
 
@@ -282,6 +310,12 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
          col_factor: float = 0.2, interpret: Optional[bool] = None) -> np.ndarray:
     """images (B, H, W, 3) f32; aux (B, H, W) f32 or None. Returns (B, H, W, 3)
     f32 palette colors."""
+    if mode != "ostromoukhov":
+        # Packed-layout kernel: ~2x faster (full sublane tiles). The v1
+        # layout below remains for ostromoukhov (one-hot LUT wants lanes).
+        return _run_packed(mode, images, palette, variant=variant, aux=aux,
+                           lum_factor=lum_factor, col_factor=col_factor,
+                           interpret=interpret)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, w, _ = images.shape
@@ -300,7 +334,8 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     else:
         aux_skew = jnp.zeros((1, 8), jnp.float32)  # unused dummy
 
-    idx_skew = call(img_skew, pal_dev, aux_skew)
+    dims = jnp.asarray(np.array([w, h], dtype=np.int32))
+    idx_skew = call(dims, img_skew, pal_dev, aux_skew)
     idx = _unskew_idx(idx_skew, s, h_frame, h, w)  # (B, H, W)
     out = jnp.take(jnp.asarray(palette, jnp.float32), idx.reshape(-1), axis=0)
     return np.asarray(out).reshape(b, h, w, 3)
@@ -345,3 +380,217 @@ def ed_batch_wavefront(images: np.ndarray, palette: np.ndarray, mode: str = "fix
                 + np.float32(0.114) * images[..., 2])
         kw["aux"] = np.float32(0.5) + np.float32(0.5) * (gray / np.float32(255.0))
     return _run(mode, images, palette, variant=variant, **kw)
+
+
+def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
+                        batch: int, interpret: Optional[bool] = None,
+                        lum_factor: float = 1.0, col_factor: float = 0.2):
+    """A pure jit/shard_map-composable device function.
+
+    Returns ``fn(frames (B,H,W,3) f32, palette_padded (pp,3) f32) ->
+    (B,H,W,3) f32`` built entirely from traced ops (skew -> pallas scan ->
+    unskew -> palette take). Used by dither_pie_tpu.parallel for
+    data-parallel error diffusion across a device mesh (each chip scans its
+    own frames; no cross-chip collectives are needed in steady state).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    call, s, h_frame, hp, pp, d_pad = _compiled(
+        mode, variant, h, w, p, batch, float(lum_factor), float(col_factor),
+        bool(interpret))
+
+    def fn(frames, palette_padded):
+        sk = _skew(frames, s, h_frame, d_pad)
+        dims = jnp.array([w, h], jnp.int32)
+        aux = jnp.zeros((1, 8), jnp.float32)
+        idx_skew = call(dims, sk, palette_padded, aux)
+        idx = _unskew_idx(idx_skew, s, h_frame, h, w)
+        out = jnp.take(palette_padded, idx.reshape(-1), axis=0)
+        return out.reshape(batch, h, w, 3)
+
+    return fn, pp
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout kernel (v2): batch folded into SUBLANES for full VPU tiles.
+#
+# The v1 layout keeps per-step state as (3, B*h_frame): 3 sublanes of 8 used.
+# v2 packs state as (3B, h_frame) — rows are channel-major (c*B + b), lanes
+# are the frame's row index — so every elementwise op runs on full (8, 128)
+# tiles (~2.5x VPU utilization at B >= 8) and row-shift rolls stay a pure
+# lane shift. The palette search becomes a running min (fused-ordered style)
+# instead of argmin + one-hot. Ostromoukhov keeps the v1 kernel (its
+# luminance LUT wants the one-hot form).
+# ---------------------------------------------------------------------------
+
+
+def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
+                         d_pad: int, chunk: int, nb: int, lf: int, pp: int,
+                         lum_factor: float = 1.0, col_factor: float = 0.2,
+                         interpret: bool = False):
+    """nb = batch, lf = lane extent (h_frame), rows R = 3*nb channel-major."""
+    entries = _fixed_entries(variant) if mode == "fixed" else _FS_ENTRIES
+    clamp_before = mode in ("fixed", "hybrid")
+    has_aux_stream = mode in ("perceptual", "adaptive")
+    R = 3 * nb
+
+    def kernel(dims_ref, img_ref, pal_ref, aux_ref, idx_ref, err_buf):
+        g = pl.program_id(0)
+        w_real = dims_ref[0]
+        h_real = dims_ref[1]
+
+        @pl.when(g == 0)
+        def _():
+            err_buf[...] = jnp.zeros((n_slots, R, lf), jnp.float32)
+
+        y_lane = jax.lax.broadcasted_iota(jnp.int32, (1, lf), 1)
+        base = g * chunk
+
+        for j in range(chunk):  # static unroll; slot indices static
+            slot = j % n_slots
+            d = base + j
+            col = d - s * y_lane
+            active = ((col >= 0) & (col < w_real) & (y_lane < h_real))
+            active_f = active.astype(jnp.float32)  # (1, lf), same for all rows
+
+            cur = img_ref[j] + err_buf[slot]  # (R, lf)
+            if clamp_before:
+                cur = jnp.clip(cur, 0.0, 255.0)
+
+            # Running-min palette search on full tiles.
+            d1 = jnp.full((nb, lf), jnp.float32(1e30))
+            idx = jnp.zeros((nb, lf), jnp.int32)
+            chosen = jnp.zeros((R, lf), jnp.float32)
+            for p in range(pp):
+                pc = pal_ref[:, p:p + 1]  # (R, 1) broadcast over lanes
+                diff = cur - pc
+                sq = diff * diff
+                dsts = sq[0:nb] + sq[nb:2 * nb] + sq[2 * nb:3 * nb]  # (nb, lf)
+                m = dsts < d1
+                d1 = jnp.where(m, dsts, d1)
+                idx = jnp.where(m, p, idx)
+                m3 = jnp.concatenate([m, m, m], axis=0)  # (R, lf)
+                chosen = jnp.where(m3, jnp.broadcast_to(pc, (R, lf)), chosen)
+
+            err = (cur - chosen) * active_f  # (R, lf)
+            idx_ref[j] = idx
+
+            err_buf[slot] = jnp.zeros((R, lf), jnp.float32)
+
+            if has_aux_stream:
+                a = aux_ref[j]  # (nb, lf)
+                err = err * jnp.concatenate([a, a, a], axis=0)
+            elif mode == "hybrid":
+                lum_err = (jnp.float32(0.299) * err[0:nb]
+                           + jnp.float32(0.587) * err[nb:2 * nb]
+                           + jnp.float32(0.114) * err[2 * nb:3 * nb])  # (nb, lf)
+                err_lum = jnp.concatenate(
+                    [jnp.float32(0.299) * lum_err, jnp.float32(0.587) * lum_err,
+                     jnp.float32(0.114) * lum_err], axis=0)
+                err = (jnp.float32(lum_factor) * err_lum
+                       + jnp.float32(col_factor) * (err - err_lum))
+
+            for dx, dy, wq in entries:
+                contrib = err * wq
+                if dy:
+                    contrib = jnp.roll(contrib, dy, axis=1)
+                    contrib = jnp.where(y_lane >= dy, contrib, 0.0)
+                err_buf[(j + dx + s * dy) % n_slots] += contrib
+
+    n_chunks = d_pad // chunk
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # dims (2,) int32
+            pl.BlockSpec((chunk, R, lf), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # palette (R, pp)
+            (pl.BlockSpec((chunk, nb, lf), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
+             if has_aux_stream
+             else pl.BlockSpec(memory_space=pltpu.VMEM)),  # dummy
+        ],
+        out_specs=pl.BlockSpec((chunk, nb, lf), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_pad, nb, lf), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((n_slots, R, lf), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_packed(mode: str, variant: str, d_pad: int, nb: int, lf: int,
+                     pp: int, lum_factor: float, col_factor: float,
+                     interpret: bool):
+    s, n_slots = _scan_params(mode, variant)
+    chunk = _chunk_for(n_slots)
+    return _build_kernel_packed(mode, variant, s, n_slots, d_pad, chunk, nb,
+                                lf, pp, lum_factor, col_factor,
+                                interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad"))
+def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int) -> jnp.ndarray:
+    """(B, H, W, 3) f32 -> (D, 3B, lf): rows channel-major (c*B + b)."""
+    b, h, w, _ = images.shape
+    d_idx = jnp.arange(d_pad)[:, None]
+    y_idx = jnp.arange(lf)[None, :]
+    col = d_idx - s * y_idx
+    valid = (col >= 0) & (col < w) & (y_idx < h)
+    colc = jnp.clip(col, 0, w - 1)
+    rowc = jnp.clip(y_idx, 0, h - 1)
+    g = images[:, rowc, colc, :]  # (B, d_pad, lf, 3)
+    g = jnp.where(valid[None, :, :, None], g, 0.0)
+    return g.transpose(1, 3, 0, 2).reshape(d_pad, 3 * b, lf)
+
+
+@functools.partial(jax.jit, static_argnames=("s", "lf", "h", "w"))
+def _unskew_idx_packed(idx_skew: jnp.ndarray, s: int, lf: int, h: int,
+                       w: int) -> jnp.ndarray:
+    """(d_pad, B, lf) int32 -> (B, H, W)."""
+    y_idx = jnp.arange(h)[:, None]
+    x_idx = jnp.arange(w)[None, :]
+    d_of = x_idx + s * y_idx  # (H, W)
+    return idx_skew[d_of, :, y_idx].transpose(2, 0, 1)
+
+
+def _pad_palette_packed(pal: np.ndarray, pp: int, nb: int) -> np.ndarray:
+    """(P, 3) -> (3*nb, pp): column p holds pal[p, c] replicated per frame."""
+    p = pal.shape[0]
+    cols = np.full((pp, 3), 1.0e6, dtype=np.float32)
+    cols[:p] = pal
+    packed = np.repeat(cols.T, nb, axis=0)  # (3*nb, pp) channel-major rows
+    return np.ascontiguousarray(packed)
+
+
+def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
+                variant: str = "", aux: Optional[np.ndarray] = None,
+                lum_factor: float = 1.0, col_factor: float = 0.2,
+                interpret: Optional[bool] = None,
+                bucket: bool = True) -> np.ndarray:
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, w, _ = images.shape
+    p = palette.shape[0]
+    s, n_slots = _scan_params(mode, variant)
+    chunk = _chunk_for(n_slots)
+    lf, _, pp, d_pad = _plan(h, w, p, 1, s, chunk, bucket=bucket)
+    call = _compiled_packed(mode, variant, d_pad, b, lf, pp,
+                            float(lum_factor), float(col_factor),
+                            bool(interpret))
+
+    img_skew = _skew_packed(jnp.asarray(images, jnp.float32), s, lf, d_pad)
+    pal_dev = jnp.asarray(_pad_palette_packed(palette.astype(np.float32), pp, b))
+    if mode in ("perceptual", "adaptive"):
+        # (B, H, W) aux -> (d_pad, B, lf) skewed
+        aux4 = jnp.asarray(aux.astype(np.float32))[..., None]
+        aux_skew = _skew_packed(aux4.repeat(3, axis=-1), s, lf, d_pad)[:, :b, :]
+    else:
+        aux_skew = jnp.zeros((1, 8), jnp.float32)
+    dims = jnp.asarray(np.array([w, h], dtype=np.int32))
+    idx_skew = call(dims, img_skew, pal_dev, aux_skew)
+    idx = _unskew_idx_packed(idx_skew, s, lf, h, w)
+    out = jnp.take(jnp.asarray(palette, jnp.float32), idx.reshape(-1), axis=0)
+    return np.asarray(out).reshape(b, h, w, 3)

@@ -60,6 +60,34 @@ def _pixelize_frame(arr: np.ndarray, method: Optional[str], max_size: int) -> np
     return arr
 
 
+def _prefetch(iterable: Iterable, depth: int) -> Iterator:
+    """Pull from ``iterable`` on a background thread through a bounded queue
+    so frame decode overlaps device compute (double buffering at the host
+    level). Worker exceptions re-raise at the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(done)
+        except BaseException as e:  # propagate decode failures
+            q.put(e)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def process_frames(
     frames: Iterable[np.ndarray],
     ditherer: ImageDitherer,
@@ -69,6 +97,7 @@ def process_frames(
     progress: Optional[Callable[[float, str], None]] = None,
     total_frames: Optional[int] = None,
     retries: int = 2,
+    prefetch: bool = True,
 ) -> Iterator[np.ndarray]:
     """Core streaming transform: frames in -> processed frames out.
 
@@ -76,6 +105,8 @@ def process_frames(
     patches irrecoverable frames with the nearest previous good frame
     (or the next good one at the start of the stream).
     """
+    if prefetch:
+        frames = _prefetch(frames, depth=2 * batch_size)
     method, max_size = pixelize_func if pixelize_func else (None, 64)
     batch: List[np.ndarray] = []
     done = 0
@@ -172,11 +203,18 @@ class VideoProcessor:
                                 ditherer: ImageDitherer,
                                 pixelize_func: Optional[Tuple[str, int]] = None,
                                 batch_size: Optional[int] = None,
-                                final_resize_multiplier: Optional[int] = None) -> bool:
+                                final_resize_multiplier: Optional[int] = None,
+                                resume: bool = False,
+                                segment_size: int = 300) -> bool:
         if not ffio.ffmpeg_available():
             logger.error("ffmpeg/ffprobe not found on PATH — video processing "
                          "requires ffmpeg")
             return False
+        if resume:
+            return self._process_segmented(
+                input_path, output_path, ditherer, pixelize_func,
+                batch_size or self.batch_size, final_resize_multiplier,
+                segment_size)
         try:
             info = self.get_video_info(input_path)
             fps, w, h = info["fps"], info["width"], info["height"]
@@ -213,6 +251,84 @@ class VideoProcessor:
             return False
 
 
+    def _process_segmented(self, input_path: str, output_path: str,
+                           ditherer: ImageDitherer,
+                           pixelize_func, batch_size: int,
+                           final_resize_multiplier, segment_size: int) -> bool:
+        """Checkpoint/resume path: encode fixed-size segments to part files
+        with a manifest; re-running skips completed segments; parts are
+        concatenated (stream copy) with the original audio mapped in."""
+        import itertools
+        import os
+
+        from dither_pie_tpu.pipeline import resume as rz
+
+        try:
+            info = self.get_video_info(input_path)
+            fps, w, h = info["fps"], info["width"], info["height"]
+            total = info.get("frame_count")
+            if not total:
+                logger.warning("Unknown frame count; resume unavailable — "
+                               "falling back to single-pass processing")
+                return self.process_video_streaming(
+                    input_path, output_path, ditherer,
+                    pixelize_func=pixelize_func, batch_size=batch_size,
+                    final_resize_multiplier=final_resize_multiplier)
+
+            expect = {"input": os.path.abspath(input_path),
+                      "fps": round(fps, 5), "segment_size": segment_size,
+                      "total_frames": total}
+            completed = rz.load_manifest(output_path, expect)
+            n_seg = rz.n_segments(total, segment_size)
+            if completed:
+                logger.info(f"Resuming: {len(completed)}/{n_seg} segments done")
+
+            reader = ffio.read_frames(input_path, w, h)
+            frames_done = 0
+            for seg in range(n_seg):
+                start = seg * segment_size
+                end = min(start + segment_size, total)
+                count = end - start
+                if seg in completed:
+                    # Already encoded: decode-and-discard to stay aligned.
+                    for _ in itertools.islice(reader, count):
+                        pass
+                    frames_done += count
+                    continue
+                part = rz.segment_part_path(output_path, seg)
+                writer = None
+                n_written = 0
+                for out in process_frames(
+                        itertools.islice(reader, count), ditherer,
+                        pixelize_func=pixelize_func,
+                        final_resize_multiplier=final_resize_multiplier,
+                        batch_size=batch_size):
+                    if writer is None:
+                        oh, ow = out.shape[:2]
+                        writer = ffio.FrameWriter(part, ow, oh, fps)
+                    writer.write(out)
+                    n_written += 1
+                if writer is None or not writer.close() or n_written != count:
+                    logger.error(f"Segment {seg} failed "
+                                 f"({n_written}/{count} frames)")
+                    return False
+                completed.add(seg)
+                rz.save_manifest(output_path, expect, completed)
+                frames_done += count
+                self._report_progress(0.05 + 0.85 * frames_done / total,
+                                      f"Segment {seg + 1}/{n_seg} done")
+
+            self._report_progress(0.92, "Concatenating segments...")
+            ok = rz.concat_segments(output_path, n_seg, source_path=input_path)
+            self._report_progress(1.0, "Video processing complete!"
+                                  if ok else "Concat failed")
+            return ok
+        except Exception as e:
+            self._report_progress(1.0, f"Error: {e}")
+            logger.error(f"Segmented video processing error: {e}", exc_info=True)
+            return False
+
+
 class NeuralPixelizer:
     """API-parity wrapper delegating to the Flax neural pixelizer singleton
     (reference surface: video_processor.py:478-560)."""
@@ -224,7 +340,8 @@ class NeuralPixelizer:
         return self._impl.pixelize(image, max_size)
 
 
-def process_single_video(config: Dict[str, Any], neural_pixelizer=None) -> bool:
+def process_single_video(config: Dict[str, Any], neural_pixelizer=None,
+                         resume: bool = False) -> bool:
     """Config-driven video processing (reference surface:
     dither_cli.py:593-710): palette from first frame, then stream."""
     from dither_pie_tpu.pipeline.image import build_ditherer
@@ -279,7 +396,8 @@ def process_single_video(config: Dict[str, Any], neural_pixelizer=None) -> bool:
             ok = processor.process_video_streaming(
                 str(input_path), str(output_path), ditherer,
                 pixelize_func=pixelize_func,
-                final_resize_multiplier=final_resize)
+                final_resize_multiplier=final_resize,
+                resume=resume)
         if ok:
             size_mb = output_path.stat().st_size / (1024 * 1024)
             logger.info(f"Video processed successfully ({size_mb:.1f} MB)")

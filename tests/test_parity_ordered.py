@@ -133,3 +133,23 @@ def test_gamma_path_parity(reference, rand_image, palette):
     lin_img = np.clip(srgb_to_linear_np(rand_image.astype(np.float32) / 255.0) * 255.0, 0, 255).astype(np.uint8)
     lin_pal = np.clip(srgb_to_linear_np(np.array(palette, dtype=np.float32) / 255.0) * 255.0, 0, 255).astype(np.float32)
     _assert_same(o, r, "bayer+gamma", tie_mask=_tie_mask(lin_img, lin_pal))
+
+
+def test_wavelet_parity(reference, rand_image, palette):
+    """Wavelet strategy vs the reference running on our DWT (the env has no
+    pywt; conftest backs the stub with ops/wavelet). Noise draw order and the
+    randomized final pick must line up; device f32 subband math may flip
+    rare floor()-boundary pixels vs the reference's float64."""
+    params = {"wavelet": "haar", "subband_quant": 8, "seed": 42}
+    ours = _run_ours("wavelet", rand_image, palette, params)
+    ref = _run_ref(reference, "wavelet", rand_image, palette, params)
+    ident = np.all(ours == ref, axis=-1).mean()
+    assert ident > 0.9, f"wavelet identity {ident:.3f}"
+
+
+def test_wavelet_parity_db2(reference, gradient_image, palette):
+    params = {"wavelet": "db2", "subband_quant": 16, "seed": 7}
+    ours = _run_ours("wavelet", gradient_image, palette, params)
+    ref = _run_ref(reference, "wavelet", gradient_image, palette, params)
+    ident = np.all(ours == ref, axis=-1).mean()
+    assert ident > 0.9, f"wavelet-db2 identity {ident:.3f}"

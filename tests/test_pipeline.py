@@ -239,3 +239,28 @@ class TestCLI:
                            env=self._env(), cwd="/root/repo")
         assert r.returncode == 0, r.stdout + r.stderr
         assert len(list((tmp_path / "out").glob("*.png"))) == 3
+
+
+class TestResume:
+    def test_plan_segments(self):
+        from dither_pie_tpu.pipeline.resume import n_segments, plan_segments
+
+        assert plan_segments(10, 4, set()) == [(0, 0, 4), (1, 4, 8), (2, 8, 10)]
+        assert plan_segments(10, 4, {1}) == [(0, 0, 4), (2, 8, 10)]
+        assert plan_segments(8, 4, {0, 1}) == []
+        assert n_segments(10, 4) == 3
+        assert n_segments(8, 4) == 2
+
+    def test_manifest_roundtrip(self, tmp_path):
+        from dither_pie_tpu.pipeline import resume as rz
+
+        out = str(tmp_path / "video.mp4")
+        expect = {"input": "/a/b.mp4", "fps": 30.0, "segment_size": 300,
+                  "total_frames": 900}
+        # segments count as done only if their part file exists
+        (tmp_path / "video.mp4.seg0001.mp4").write_bytes(b"x")
+        rz.save_manifest(out, expect, {0, 1})
+        assert rz.load_manifest(out, expect) == {1}
+        # mismatched params -> start fresh
+        other = dict(expect, segment_size=100)
+        assert rz.load_manifest(out, other) == set()

@@ -154,3 +154,47 @@ def test_output_is_palette_colors():
     flat = o.reshape(-1, 3)
     pal_set = {tuple(c) for c in PAL.tolist()}
     assert all(tuple(c) in pal_set for c in flat.tolist())
+
+
+# ---------------------------------------------------------------------------
+# Packed-layout (v2) kernel: batch folded into sublanes.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["floyd_steinberg", "jjn", "atkinson",
+                                     "sierra", "sierra_lite"])
+def test_packed_kernel_matches_native(variant):
+    imgs = np.random.RandomState(11).randint(0, 256, (3, 16, 20, 3)).astype(np.float32)
+    out = wf._run_packed("fixed", imgs.copy(), PAL, variant=variant)
+    for i in range(3):
+        n = ed_host.ed_fixed(imgs[i].copy(), PAL, variant, False)
+        ident = np.all(out[i] == n, axis=-1).mean()
+        assert ident > 0.95, f"{variant} frame {i}: {ident}"
+
+
+def test_packed_hybrid_perceptual_adaptive():
+    imgs = np.random.RandomState(12).randint(0, 256, (2, 16, 20, 3)).astype(np.float32)
+    oh = wf._run_packed("hybrid", imgs.copy(), PAL)
+    nh = ed_host.ed_hybrid(imgs[0].copy(), PAL, 1.0, 0.2, True)
+    assert np.all(oh[0] == nh, axis=-1).mean() > 0.95
+
+    gray = (np.float32(0.299) * imgs[..., 0] + np.float32(0.587) * imgs[..., 1]
+            + np.float32(0.114) * imgs[..., 2])
+    op = wf._run_packed("perceptual", imgs.copy(), PAL,
+                        aux=np.float32(0.5) + np.float32(0.5) * (gray / np.float32(255.0)))
+    npc = ed_host.ed_perceptual(imgs[0].copy(), PAL)
+    assert np.all(op[0] == npc, axis=-1).mean() > 0.95
+
+    gates = np.stack([variance_map_np(g, 1) >= 300.0 for g in gray]).astype(np.float32)
+    oa = wf._run_packed("adaptive", imgs.copy(), PAL, aux=gates)
+    na = ed_host.ed_adaptive(imgs[0].copy(), PAL, gates[0])
+    assert np.all(oa[0] == na, axis=-1).mean() > 0.95
+
+
+def test_packed_odd_shapes():
+    for (h, w) in [(7, 5), (1, 12), (12, 1), (33, 9)]:
+        img = np.random.RandomState(h * 31 + w).randint(
+            0, 256, (1, h, w, 3)).astype(np.float32)
+        o = wf._run_packed("fixed", img.copy(), PAL, variant="stucki")
+        n = ed_host.ed_fixed(img[0].copy(), PAL, "stucki", False)
+        assert np.all(o[0] == n, axis=-1).mean() > 0.9, (h, w)
