@@ -137,6 +137,7 @@ class DitheringApp:
         ttk.Separator(sidebar).pack(fill="x", pady=4)
         btn("Fit to Window", lambda: self.viewer.fit_image())
         btn("Toggle View", self.toggle_view)
+        btn("Compare...", self.compare_views)
 
         self.viewer = ZoomableImage(outer)
         self.viewer.pack(side="left", fill="both", expand=True)
@@ -210,9 +211,9 @@ class DitheringApp:
             return
         from dither_pie_tpu.pipeline import ffio
 
-        if not ffio.ffmpeg_available():
-            messagebox.showerror("ffmpeg missing",
-                                 "Video support requires ffmpeg on PATH.")
+        if not ffio.video_available():
+            messagebox.showerror("No video backend",
+                                 "Video support requires ffmpeg (or OpenCV).")
             return
         self.config.set_last_dir("video", str(Path(path).parent))
         frame = ffio.read_single_frame(path, 0)
@@ -448,6 +449,17 @@ class DitheringApp:
         CustomPaletteCreator(self.root, on_save=save)
 
     # -------------------------------------------------------------- misc
+
+    def compare_views(self):
+        """Side-by-side original vs latest processed result."""
+        from dither_pie_tpu.gui.widgets import ImageComparisonView
+
+        processed = self.dithered_image or self.pixelized_image
+        if self.current_image is None or processed is None:
+            messagebox.showinfo("Nothing to compare",
+                                "Process an image first.")
+            return
+        ImageComparisonView(self.root, self.current_image, processed)
 
     def toggle_view(self):
         states = [("current", self.current_image),

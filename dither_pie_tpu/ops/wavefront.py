@@ -310,9 +310,11 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
          col_factor: float = 0.2, interpret: Optional[bool] = None) -> np.ndarray:
     """images (B, H, W, 3) f32; aux (B, H, W) f32 or None. Returns (B, H, W, 3)
     f32 palette colors."""
-    if mode != "ostromoukhov":
+    if mode != "ostromoukhov" and palette.shape[0] <= 64:
         # Packed-layout kernel: ~2x faster (full sublane tiles). The v1
-        # layout below remains for ostromoukhov (one-hot LUT wants lanes).
+        # layout below remains for ostromoukhov (one-hot LUT wants lanes)
+        # and for large palettes (the packed running-min loop unrolls per
+        # entry; v1's matrix form scales better past ~64 colors).
         return _run_packed(mode, images, palette, variant=variant, aux=aux,
                            lum_factor=lum_factor, col_factor=col_factor,
                            interpret=interpret)

@@ -25,9 +25,35 @@ def ffmpeg_available() -> bool:
     return FFMPEG is not None and FFPROBE is not None
 
 
+def _cv2():
+    try:
+        import cv2
+
+        return cv2
+    except ImportError:
+        return None
+
+
+def video_backend() -> Optional[str]:
+    """'ffmpeg' (full fidelity: audio/subtitle copy, libx264 crf18) or
+    'cv2' (video-only fallback: mp4v, no audio) or None."""
+    if ffmpeg_available():
+        return "ffmpeg"
+    if _cv2() is not None:
+        return "cv2"
+    return None
+
+
+def video_available() -> bool:
+    return video_backend() is not None
+
+
 def probe_video(video_path: str) -> dict:
     """fps / width / height / duration / frame_count via ffprobe (with the
-    reference's >100-means-frame-count heuristic and fallback defaults)."""
+    reference's >100-means-frame-count heuristic and fallback defaults);
+    cv2 fallback when ffprobe is absent."""
+    if not ffmpeg_available():
+        return _probe_video_cv2(video_path)
     try:
         def run(entries):
             cmd = [FFPROBE, "-v", "error", "-select_streams", "v:0",
@@ -68,8 +94,39 @@ def probe_video(video_path: str) -> dict:
                 "duration": None, "frame_count": None}
 
 
+def _probe_video_cv2(video_path: str) -> dict:
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(video_path)
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or 1920
+        height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or 1080
+        frame_count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) or None
+        duration = frame_count / fps if frame_count else None
+        return {"fps": float(fps), "width": width, "height": height,
+                "duration": duration, "frame_count": frame_count}
+    finally:
+        cap.release()
+
+
+def _read_frames_cv2(video_path: str) -> Iterator[np.ndarray]:
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(video_path)
+    try:
+        while True:
+            ret, frame = cap.read()
+            if not ret:
+                return
+            yield np.ascontiguousarray(frame[:, :, ::-1])  # BGR -> RGB
+    finally:
+        cap.release()
+
+
 def read_frames(video_path: str, width: int, height: int) -> Iterator[np.ndarray]:
-    """Yield (H, W, 3) uint8 frames from an ffmpeg rawvideo pipe."""
+    """Yield (H, W, 3) uint8 frames (ffmpeg rawvideo pipe, or cv2 fallback)."""
+    if not ffmpeg_available():
+        yield from _read_frames_cv2(video_path)
+        return
     cmd = [FFMPEG, "-i", video_path, "-f", "rawvideo", "-pix_fmt", "rgb24",
            "-v", "error", "-"]
     frame_bytes = width * height * 3
@@ -88,6 +145,16 @@ def read_frames(video_path: str, width: int, height: int) -> Iterator[np.ndarray
 
 def read_single_frame(video_path: str, index: int = 0) -> Optional[np.ndarray]:
     """Decode one frame (by index) to an RGB array."""
+    if not ffmpeg_available():
+        cv2 = _cv2()
+        cap = cv2.VideoCapture(video_path)
+        try:
+            if index:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+            ret, frame = cap.read()
+            return np.ascontiguousarray(frame[:, :, ::-1]) if ret else None
+        finally:
+            cap.release()
     info = probe_video(video_path)
     w, h = info["width"], info["height"]
     sel = [] if index == 0 else ["-vf", f"select=eq(n\\,{index})", "-vsync", "0"]
@@ -107,6 +174,19 @@ class FrameWriter:
     def __init__(self, output_path: str, width: int, height: int, fps: float,
                  source_path: Optional[str] = None, total_frames: Optional[int] = None):
         self.width, self.height = width, height
+        self._cv2_writer = None
+        self.proc = None
+        if not ffmpeg_available():
+            cv2 = _cv2()
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            self._cv2_writer = cv2.VideoWriter(output_path, fourcc, fps,
+                                               (width, height))
+            if not self._cv2_writer.isOpened():
+                raise RuntimeError(f"cv2 VideoWriter failed for {output_path}")
+            print("note: encoding with OpenCV fallback (mp4v, no audio); "
+                  "install ffmpeg for libx264 + audio/subtitle copy",
+                  file=sys.stderr)
+            return
         cmd = [FFMPEG, "-y",
                "-f", "rawvideo", "-pix_fmt", "rgb24",
                "-s", f"{width}x{height}", "-framerate", f"{fps:.5f}", "-i", "-"]
@@ -126,8 +206,14 @@ class FrameWriter:
 
     def write(self, frame: np.ndarray):
         assert frame.shape == (self.height, self.width, 3) and frame.dtype == np.uint8
+        if self._cv2_writer is not None:
+            self._cv2_writer.write(np.ascontiguousarray(frame[:, :, ::-1]))
+            return
         self.proc.stdin.write(frame.tobytes())
 
     def close(self) -> bool:
+        if self._cv2_writer is not None:
+            self._cv2_writer.release()
+            return True
         self.proc.stdin.close()
         return self.proc.wait() == 0

@@ -114,11 +114,17 @@ def process_frames(
     pending_patch = 0  # leading frames that failed before any success
 
     def run_batch(arrs: List[np.ndarray]) -> List[Optional[np.ndarray]]:
-        stacked = np.stack(arrs)
+        # Pad partial batches (e.g. the tail of a video) up to batch_size by
+        # repeating the last frame, so the device program compiled for the
+        # full batch shape is reused (compiles cost minutes on the dev
+        # tunnel) and the batch axis stays mesh-shardable.
+        n = len(arrs)
+        padded = arrs + [arrs[-1]] * (batch_size - n) if n < batch_size else arrs
+        stacked = np.stack(padded)
         try:
             with stage("video.dither_batch"):
                 out = ditherer.apply_dithering_batch(stacked)
-            return [out[i] for i in range(len(arrs))]
+            return [out[i] for i in range(n)]
         except Exception as e:
             logger.warning(f"Batch dither failed ({e}); retrying per frame")
             results: List[Optional[np.ndarray]] = []
@@ -206,9 +212,9 @@ class VideoProcessor:
                                 final_resize_multiplier: Optional[int] = None,
                                 resume: bool = False,
                                 segment_size: int = 300) -> bool:
-        if not ffio.ffmpeg_available():
-            logger.error("ffmpeg/ffprobe not found on PATH — video processing "
-                         "requires ffmpeg")
+        if not ffio.video_available():
+            logger.error("No video backend available (need ffmpeg on PATH, "
+                         "or OpenCV as a video-only fallback)")
             return False
         if resume:
             return self._process_segmented(
@@ -263,6 +269,13 @@ class VideoProcessor:
 
         from dither_pie_tpu.pipeline import resume as rz
 
+        if not ffio.ffmpeg_available():
+            logger.warning("Resume mode needs ffmpeg (segment concat); "
+                           "falling back to single-pass processing")
+            return self.process_video_streaming(
+                input_path, output_path, ditherer,
+                pixelize_func=pixelize_func, batch_size=batch_size,
+                final_resize_multiplier=final_resize_multiplier)
         try:
             info = self.get_video_info(input_path)
             fps, w, h = info["fps"], info["width"], info["height"]
@@ -351,9 +364,9 @@ def process_single_video(config: Dict[str, Any], neural_pixelizer=None,
         output_path = Path(config["output"])
         logger.info(f"Processing video: {input_path.name}")
 
-        if not ffio.ffmpeg_available():
-            logger.error("ffmpeg/ffprobe not found on PATH — video processing "
-                         "requires ffmpeg")
+        if not ffio.video_available():
+            logger.error("No video backend available (need ffmpeg on PATH, "
+                         "or OpenCV as a video-only fallback)")
             return False
 
         processor = VideoProcessor()
