@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from dither_pie_tpu.api.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     platform = None
     for attempt in range(6):
         try:

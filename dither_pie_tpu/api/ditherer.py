@@ -208,7 +208,7 @@ class MatrixDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
         out = _ordered.dispatch_ordered_batch(
-            jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal), screen)
+            jnp.asarray(images), jnp.asarray(pal), screen)
         return np.asarray(out).astype(np.float32)
 
 
@@ -312,7 +312,7 @@ class InterleavedGradientNoiseDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
         out = _ordered.dispatch_ordered_batch(
-            jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal), screen)
+            jnp.asarray(images), jnp.asarray(pal), screen)
         return np.asarray(out).astype(np.float32)
 
     def get_current_parameters(self) -> Dict[str, Any]:
@@ -425,7 +425,7 @@ class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         wf = None if self.serpentine else _wavefront_or_none()
         if wf is not None:
-            return wf.ed_batch_wavefront(images.astype(np.float32), pal,
+            return wf.ed_batch_wavefront(np.asarray(images), pal,
                                          "fixed", self.variant)
         return _threaded_frames(
             lambda im: _ed_host.ed_fixed(im.astype(np.float32).copy(), pal,
@@ -469,7 +469,7 @@ class OstromoukhovDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         wf = None if self.serpentine else _wavefront_or_none()
         if wf is not None:
-            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "ostromoukhov")
+            return wf.ed_batch_wavefront(np.asarray(images), pal, "ostromoukhov")
         return _threaded_frames(
             lambda im: _ed_host.ed_ostromoukhov(im.astype(np.float32).copy(), pal,
                                                 self.serpentine),
@@ -522,7 +522,7 @@ class HybridDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         wf = _wavefront_or_none()
         if wf is not None:
-            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "hybrid",
+            return wf.ed_batch_wavefront(np.asarray(images), pal, "hybrid",
                                          lum_factor=self.lum_factor,
                                          col_factor=self.col_factor)
         return _threaded_frames(
@@ -554,7 +554,7 @@ class PerceptualDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         wf = _wavefront_or_none()
         if wf is not None:
-            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "perceptual")
+            return wf.ed_batch_wavefront(np.asarray(images), pal, "perceptual")
         return _threaded_frames(
             lambda im: _ed_host.ed_perceptual(im.astype(np.float32).copy(), pal),
             list(images), images)
@@ -617,7 +617,7 @@ class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
         gates = self._gates(images)
         wf = _wavefront_or_none()
         if wf is not None:
-            return wf.ed_batch_wavefront(images.astype(np.float32), pal, "adaptive",
+            return wf.ed_batch_wavefront(np.asarray(images), pal, "adaptive",
                                          aux=gates)
         return _threaded_frames(
             lambda t: _ed_host.ed_adaptive(t[0].astype(np.float32).copy(), pal, t[1]),
@@ -971,7 +971,7 @@ class ImageDitherer:
 
         mode = self.dither_mode or DitherMode.NONE
         strategy = self._get_dither_strategy(mode)
-        out = strategy.dither_batch(work.astype(np.float32), palette_arr)
+        out = strategy.dither_batch(work, palette_arr)
         out8 = out.astype(np.uint8)
 
         if self.use_gamma:

@@ -301,7 +301,9 @@ def main(argv: Optional[list] = None) -> int:
     # Resolve the JAX backend once, with CPU fallback if the accelerator
     # plugin failed to register (e.g. chip held by another process).
     from dither_pie_tpu.api import runtime as _runtime
+    from dither_pie_tpu.api.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     platform = _runtime.jax_platform()
     logger.info(f"Compute backend: {platform}")
 

@@ -11,11 +11,9 @@ from __future__ import annotations
 
 import colorsys
 import json
-import threading
-import time
 import tkinter as tk
 from pathlib import Path
-from tkinter import colorchooser, simpledialog, ttk
+from tkinter import colorchooser, ttk
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import numpy as np

@@ -25,7 +25,6 @@ from dither_pie_tpu.models.layers import (
     Params,
     conv2d,
     conv_block,
-    instance_norm,
     linear_block,
     max_pool_2x2,
     modulated_conv,

@@ -12,8 +12,6 @@ All functions take/return float32 (H, W, 3) arrays in [0, 255]-ish range
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from dither_pie_tpu.native.build import get_lib

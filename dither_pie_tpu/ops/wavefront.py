@@ -244,7 +244,10 @@ def _plan(h: int, w: int, p: int, batch: int, s: int, chunk: int,
 
 @functools.partial(jax.jit, static_argnames=("s", "h_frame", "d_pad"))
 def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int) -> jnp.ndarray:
-    """(B, H, W, C) f32 -> (C, d_pad, B*h_frame) skewed, zeros outside."""
+    """(B, H, W, C) any-dtype -> (C, d_pad, B*h_frame) f32 skewed, zeros
+    outside. Cast happens on device so hosts can ship uint8 (4x less
+    transfer)."""
+    images = images.astype(jnp.float32)
     b, h, w, c = images.shape
     d_idx = jnp.arange(d_pad)[:, None]
     y_idx = jnp.arange(h_frame)[None, :]
@@ -325,7 +328,7 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     call, s, h_frame, hp, pp, d_pad = _compiled(
         mode, variant, h, w, p, b, float(lum_factor), float(col_factor), interpret)
 
-    img_skew = _skew(jnp.asarray(images, jnp.float32), s, h_frame, d_pad)
+    img_skew = _skew(jnp.asarray(images), s, h_frame, d_pad)
     pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
 
     if mode in ("perceptual", "adaptive"):
@@ -535,7 +538,9 @@ def _compiled_packed(mode: str, variant: str, d_pad: int, nb: int, lf: int,
 
 @functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad"))
 def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int) -> jnp.ndarray:
-    """(B, H, W, 3) f32 -> (D, 3B, lf): rows channel-major (c*B + b)."""
+    """(B, H, W, 3) any-dtype -> (D, 3B, lf) f32: rows channel-major
+    (c*B + b). Cast on device (ship uint8)."""
+    images = images.astype(jnp.float32)
     b, h, w, _ = images.shape
     d_idx = jnp.arange(d_pad)[:, None]
     y_idx = jnp.arange(lf)[None, :]
@@ -583,7 +588,7 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                             float(lum_factor), float(col_factor),
                             bool(interpret))
 
-    img_skew = _skew_packed(jnp.asarray(images, jnp.float32), s, lf, d_pad)
+    img_skew = _skew_packed(jnp.asarray(images), s, lf, d_pad)
     pal_dev = jnp.asarray(_pad_palette_packed(palette.astype(np.float32), pp, b))
     if mode in ("perceptual", "adaptive"):
         # (B, H, W) aux -> (d_pad, B, lf) skewed

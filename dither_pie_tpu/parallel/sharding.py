@@ -15,9 +15,6 @@ Parallelism map for this workload (SURVEY.md §2.8):
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -22,7 +22,6 @@ so the pipeline is testable without ffmpeg (tests feed synthetic frames).
 from __future__ import annotations
 
 import logging
-import sys
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Tuple
 
