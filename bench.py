@@ -93,6 +93,33 @@ def main():
     log(f"A bayer8x8@1080p x{B_A}: {per_a*1000:.2f} ms/batch -> "
         f"{bayer_mpix_s:.0f} MPix/s ({bayer_mpix_s/1000:.2f} GPix/s)")
 
+    # ---- C: blue-noise screen + 16-color custom palette (batch-folder
+    # analogue). Same kernel shape as A -> no extra compile.
+    from dither_pie_tpu.core.thresholds import blue_noise_cached
+    from dither_pie_tpu.utils import PaletteManager
+
+    bn_screen = tile_screen_device(jnp.asarray(blue_noise_cached(64, 42)), H, W)
+    pico8 = PaletteManager().get_palette_colors_rgb("pico8_palette")
+    pal_c = jnp.asarray(np.asarray(pico8, np.float32)) if pico8 and len(pico8) == 16 \
+        else palette16
+
+    def bn_many(k):
+        @jax.jit
+        def f(frames, pal, screen):
+            acc = jnp.zeros((), jnp.uint32)
+            for i in range(k):
+                out = ordered_dither_fused(
+                    jnp.bitwise_xor(frames, jnp.uint8(i + 7)), pal, screen,
+                    interpret=platform == "cpu", bucket=False)
+                acc = acc + out[0, 0, 0, 0].astype(jnp.uint32) + out[-1, -1, -1, -1]
+            return acc
+        return lambda: f(frames, pal_c, bn_screen)
+
+    per_c = timed_pair(bn_many(1), bn_many(3), 3)
+    bn_mpix_s = B_A * mpix / per_c
+    log(f"C blue-noise+pico8@1080p x{B_A}: {per_c*1000:.2f} ms/batch -> "
+        f"{bn_mpix_s:.0f} MPix/s ({bn_mpix_s/1000:.2f} GPix/s)")
+
     # ---- B: Floyd-Steinberg wavefront, 32 colors, batch of 8 --------------
     from dither_pie_tpu.ops import wavefront as wf
 
@@ -135,6 +162,7 @@ def main():
             "platform": platform,
             "bayer8x8_1080p_gpix_per_s": round(bayer_mpix_s / 1000.0, 3),
             "bayer_vs_1gpix_target": round(bayer_mpix_s / 1000.0, 3),
+            "bluenoise_pico8_1080p_gpix_per_s": round(bn_mpix_s / 1000.0, 3),
             "fs_1080p_fps": round(fs_fps, 1),
             "fs_batch": B_B,
             "method": "K-chained in-dispatch differential (relay-independent)",

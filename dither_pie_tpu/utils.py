@@ -30,7 +30,7 @@ __all__ = [
     "PaletteManager",
 ]
 
-_ASSET_PALETTES = Path(__file__).parent / "assets" / "palette.json"
+_ASSET_PALETTES = Path(__file__).parent / "assets" / "builtin_palettes.json"
 
 
 def default_palette_file() -> str:
