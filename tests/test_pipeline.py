@@ -264,3 +264,22 @@ class TestResume:
         # mismatched params -> start fresh
         other = dict(expect, segment_size=100)
         assert rz.load_manifest(out, other) == set()
+
+
+class TestTools:
+    def test_resizer_image(self, tmp_path, tmp_image):
+        from dither_pie_tpu.tools.resizer import resize_image
+
+        out = tmp_path / "resized.png"
+        resize_image(str(tmp_image), str(out), 20)
+        img = Image.open(out)
+        # 40x60 -> smaller side ~20, both even
+        assert img.size[1] % 2 == 0 and img.size[0] % 2 == 0
+        assert min(img.size) == 20
+
+    def test_vid_conc_requires_ffmpeg(self, capsys):
+        from dither_pie_tpu.pipeline.ffio import ffmpeg_available
+        from dither_pie_tpu.tools.vid_conc import concat_side_by_side
+
+        if not ffmpeg_available():
+            assert concat_side_by_side(["a.mp4", "b.mp4"], "out.mp4") is False
