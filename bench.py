@@ -46,7 +46,10 @@ def main():
         platform = "cpu"
     log(f"platform: {platform}, devices: {jax.devices()}")
 
-    H, W = 1080, 1920
+    import os
+
+    small = os.environ.get("BENCH_SMALL") == "1"  # CI smoke on CPU
+    H, W = (96, 128) if small else (1080, 1920)
     mpix = H * W / 1e6
     rng = np.random.RandomState(0)
 
@@ -69,7 +72,7 @@ def main():
     from dither_pie_tpu.ops.ordered import tile_screen_device
     from dither_pie_tpu.ops.ordered_pallas import ordered_dither_fused
 
-    B_A = 8
+    B_A = 2 if small else 8
     frames = jnp.asarray(rng.randint(0, 256, (B_A, H, W, 3), dtype=np.uint8))
     palette16 = jnp.asarray(rng.randint(0, 256, (16, 3)).astype(np.float32))
     screen = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), H, W)
@@ -123,7 +126,7 @@ def main():
     # ---- B: Floyd-Steinberg wavefront, 32 colors, batch of 8 --------------
     from dither_pie_tpu.ops import wavefront as wf
 
-    B_B = 8
+    B_B = 2 if small else 8
     pal32 = rng.randint(0, 256, (32, 3)).astype(np.float32)
     s, n_slots = wf._scan_params("fixed", "floyd_steinberg")
     chunk = wf._chunk_for(n_slots)
