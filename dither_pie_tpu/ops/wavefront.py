@@ -314,10 +314,23 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     """images (B, H, W, 3) f32; aux (B, H, W) f32 or None. Returns (B, H, W, 3)
     f32 palette colors."""
     if mode != "ostromoukhov" and palette.shape[0] <= 64:
-        # Packed-layout kernel: ~2x faster (full sublane tiles). The v1
-        # layout below remains for ostromoukhov (one-hot LUT wants lanes)
-        # and for large palettes (the packed running-min loop unrolls per
-        # entry; v1's matrix form scales better past ~64 colors).
+        # Packed-layout kernel: ~2x faster (full sublane tiles) and verified
+        # bit-identical to the native golden engine on hardware. Batches
+        # below 8 are padded up (Mosaic rejects sub-tile sublane register
+        # casts below 8 rows, and the padded lanes are free); v1 remains for
+        # ostromoukhov (one-hot LUT wants lanes) and large palettes (the
+        # packed running-min loop unrolls per entry).
+        b = images.shape[0]
+        if b < 8:
+            pad = np.concatenate(
+                [images, np.repeat(images[-1:], 8 - b, axis=0)], axis=0)
+            if aux is not None:
+                aux = np.concatenate(
+                    [aux, np.repeat(aux[-1:], 8 - b, axis=0)], axis=0)
+            out = _run_packed(mode, pad, palette, variant=variant, aux=aux,
+                              lum_factor=lum_factor, col_factor=col_factor,
+                              interpret=interpret)
+            return out[:b]
         return _run_packed(mode, images, palette, variant=variant, aux=aux,
                            lum_factor=lum_factor, col_factor=col_factor,
                            interpret=interpret)
@@ -474,8 +487,11 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                 m = dsts < d1
                 d1 = jnp.where(m, dsts, d1)
                 idx = jnp.where(m, p, idx)
-                m3 = jnp.concatenate([m, m, m], axis=0)  # (R, lf)
-                chosen = jnp.where(m3, jnp.broadcast_to(pc, (R, lf)), chosen)
+                # Exact 0/1 float blend (Mosaic rejects bool concats on
+                # sub-tile sublane counts; x*1+y*0 is exact for finite x,y).
+                mf = m.astype(jnp.float32)
+                m3 = jnp.concatenate([mf, mf, mf], axis=0)  # (R, lf)
+                chosen = chosen + m3 * (jnp.broadcast_to(pc, (R, lf)) - chosen)
 
             err = (cur - chosen) * active_f  # (R, lf)
             idx_ref[j] = idx
