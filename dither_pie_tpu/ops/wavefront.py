@@ -87,6 +87,17 @@ def _chunk_for(n_slots: int) -> int:
     return c
 
 
+def _chunk_for_v1(n_slots: int) -> int:
+    """v1 layout blocks are (3, chunk, hp) / (chunk, hp): Mosaic requires
+    the second-to-last block dim to be divisible by 8, so the v1 chunk must
+    be a common multiple of n_slots and 8 (the packed layout keeps chunk on
+    the leading dim and is exempt)."""
+    c = n_slots
+    while c % 8 or c < 8:
+        c += n_slots
+    return c
+
+
 def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
                   chunk: int, hp: int, pp: int, h_frame: int,
                   lum_factor: float = 1.0, col_factor: float = 0.2,
@@ -292,7 +303,7 @@ def _compiled_padded(mode: str, variant: str, d_pad: int, hp: int, pp: int,
                      h_frame: int, lum_factor: float, col_factor: float,
                      interpret: bool):
     s, n_slots = _scan_params(mode, variant)
-    chunk = _chunk_for(n_slots)
+    chunk = _chunk_for_v1(n_slots)
     return _build_kernel(mode, variant, s, n_slots, d_pad, chunk, hp, pp,
                          h_frame, lum_factor, col_factor, interpret=interpret)
 
@@ -301,7 +312,7 @@ def _compiled(mode: str, variant: str, h: int, w: int, p: int, batch: int,
               lum_factor: float, col_factor: float, interpret: bool,
               bucket: bool = True):
     s, n_slots = _scan_params(mode, variant)
-    chunk = _chunk_for(n_slots)
+    chunk = _chunk_for_v1(n_slots)
     h_frame, hp, pp, d_pad = _plan(h, w, p, batch, s, chunk, bucket=bucket)
     call = _compiled_padded(mode, variant, d_pad, hp, pp, h_frame,
                             lum_factor, col_factor, interpret)
