@@ -30,18 +30,22 @@ __all__ = [
     "PaletteManager",
 ]
 
-_ASSET_PALETTES = Path(__file__).parent / "assets" / "builtin_palettes.json"
+_BUILTIN_SENTINEL = "<builtin>"
 
 
 def default_palette_file() -> str:
-    """User palette.json in cwd if present, else the bundled asset set."""
+    """User palette.json in cwd if present, else the bundled builtin set."""
     if os.path.exists("palette.json"):
         return "palette.json"
-    return str(_ASSET_PALETTES)
+    return _BUILTIN_SENTINEL
 
 
 def load_palettes_from_file(filepath: Optional[str] = None) -> List[Dict]:
     filepath = filepath or default_palette_file()
+    if filepath == _BUILTIN_SENTINEL:
+        from dither_pie_tpu.core.builtin_palettes import builtin_palette_list
+
+        return builtin_palette_list()
     if not os.path.exists(filepath):
         return []
     try:
@@ -152,10 +156,10 @@ class PaletteManager:
         self.palettes = load_palettes_from_file(self.filepath)
 
     def save(self):
-        # Never write back into the packaged asset file; redirect user edits
-        # to a local palette.json.
+        # Never write back into the bundled data; redirect user edits to a
+        # local palette.json.
         target = self.filepath
-        if os.path.abspath(target) == str(_ASSET_PALETTES.resolve()):
+        if target == _BUILTIN_SENTINEL:
             target = "palette.json"
             self.filepath = target
         save_palettes_to_file(self.palettes, target)
