@@ -151,6 +151,13 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
                 cur = jnp.clip(cur, 0.0, 255.0)
 
             # Palette search: (pp, hp) squared distances on the VPU.
+            # NOTE: Mosaic may FMA-contract this accumulation
+            # (--xla_allow_excess_precision; lax.optimization_barrier is not
+            # lowered in Pallas), flipping near-ties vs the host golden.
+            # ED chaos spreads those flips, so v1-on-TPU outputs are valid
+            # but not bit-matched to the golden engine — the packed kernel
+            # (all fixed/hybrid/perceptual/adaptive traffic) avoids the
+            # pattern and IS hardware-verified bit-identical.
             d2 = jnp.zeros((pp, hp), jnp.float32)
             for c in range(3):
                 diff = pal[:, c:c + 1] - cur[c:c + 1, :]
