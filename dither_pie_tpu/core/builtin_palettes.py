@@ -102,7 +102,15 @@ BUILTIN_PALETTES = {
 }
 
 
+# The reference's palette.json has one hand-entry quirk: the first color of
+# sara_PC98_16colors lacks the '#' prefix (/root/reference/palette.json).
+# Preserved verbatim so the serialized palette list is byte-identical.
+_RAW_QUIRKS = {("sara_PC98_16colors", 0): "b61030"}
+
+
 def builtin_palette_list():
     """Materialize as the palette.json list-of-dicts shape."""
-    return [{"name": name, "colors": ["#" + c for c in cols]}
+    return [{"name": name,
+             "colors": [_RAW_QUIRKS.get((name, i), "#" + c)
+                        for i, c in enumerate(cols)]}
             for name, cols in BUILTIN_PALETTES.items()]

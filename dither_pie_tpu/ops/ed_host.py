@@ -2,7 +2,7 @@
 
 These wrap the native C++ engine (dither_pie_tpu/native/ed_scan.cpp); when no
 compiler is available they fall back to a NumPy scan with identical
-semantics. The TPU wavefront kernel (ops/wavefront_pallas.py) is layered on
+semantics. The TPU wavefront kernel (ops/wavefront.py) is layered on
 top by the strategy dispatcher in api/ditherer.py.
 
 All functions take/return float32 (H, W, 3) arrays in [0, 255]-ish range

@@ -4,7 +4,7 @@ The environment ships no pywt; we implement the filter banks ourselves. The
 scaling (rec_lo) coefficients below are the standard published Daubechies /
 Symlet / Coiflet / biorthogonal-spline constants; the remaining filters
 follow the usual quadrature-mirror relations, validated by the
-perfect-reconstruction unit tests in tests/test_wavelet.py.
+perfect-reconstruction unit tests in tests/test_core.py.
 
 Conventions follow pywt's defaults (mode='symmetric', single level), since
 that is what the reference calls (/root/reference/dithering_lib.py:899-906):

@@ -40,6 +40,54 @@ def test_kmeans_palette_quality(rand_image):
     assert d.mean() < 5000
 
 
+@pytest.mark.parametrize("k", [8, 16, 32])
+def test_kmeans_inertia_within_5pct_of_sklearn(k):
+    """Quantify the deliberate k-means deviation (seeded kmeans++/Lloyd on
+    device vs the reference's sklearn KMeans,
+    /root/reference/dithering_lib.py:1846-1857): on a fixed sample, our
+    clustering inertia must be within 5% of sklearn's."""
+    sklearn_cluster = pytest.importorskip("sklearn.cluster")
+    rng = np.random.RandomState(7)
+    # Clustered data (not uniform noise) so inertia differences are visible:
+    # 6 color blobs + a gradient ramp, like a real image histogram.
+    blobs = np.concatenate([
+        rng.normal(loc=c, scale=18.0, size=(1200, 3))
+        for c in [(30, 30, 30), (220, 220, 210), (200, 40, 40),
+                  (40, 160, 60), (60, 80, 200), (230, 200, 60)]
+    ])
+    ramp = np.linspace(0, 255, 2000)[:, None] * np.ones((1, 3))
+    sample = np.clip(np.concatenate([blobs, ramp]), 0, 255)
+    img = sample.reshape(-1, 1, 3).astype(np.uint8)
+
+    ours = np.asarray(
+        palette.kmeans_palette(img, k, random_state=42), dtype=np.float64)
+    px = img.reshape(-1, 3).astype(np.float64)
+    inertia_ours = ((px[:, None, :] - ours[None]) ** 2).sum(-1).min(1).sum()
+
+    sk = sklearn_cluster.KMeans(n_clusters=k, random_state=42, n_init=10)
+    sk.fit(px)
+    inertia_sk = ((px[:, None, :] - sk.cluster_centers_[None]) ** 2).sum(-1).min(1).sum()
+
+    assert inertia_ours <= 1.05 * inertia_sk, (inertia_ours, inertia_sk)
+
+
+def test_builtin_palettes_byte_identical_to_reference():
+    """The serialized builtin palette list must equal the reference's
+    palette.json verbatim — including its hand-entry quirk (the first
+    sara_PC98_16colors color has no '#' prefix)."""
+    import json
+    import os
+
+    from dither_pie_tpu.core.builtin_palettes import builtin_palette_list
+
+    ref_path = "/root/reference/palette.json"
+    if not os.path.exists(ref_path):
+        pytest.skip("reference palette.json not available")
+    with open(ref_path, "r", encoding="utf-8") as f:
+        ref = json.load(f)
+    assert builtin_palette_list() == ref
+
+
 def test_srgb_transfer_matches_reference(reference):
     c = np.linspace(0, 1, 1000, dtype=np.float32)
     np.testing.assert_allclose(
