@@ -77,6 +77,18 @@ _FS_ENTRIES = [(1, 0, np.float32(7 / 16)), (-1, 1, np.float32(3 / 16)),
                (0, 1, np.float32(5 / 16)), (1, 1, np.float32(1 / 16))]
 
 
+@functools.lru_cache(maxsize=1)
+def _ostro_weight_table() -> np.ndarray:
+    """(256, 3) f32 Ostromoukhov weights, pre-divided on host: f64 division
+    then f32 demotion, bit-matching the golden engine's NEP-50 weak-scalar
+    semantics (native/ed_scan.cpp:118-124). Zero rows stay zero (the golden
+    `div == 0` skip)."""
+    tbl = OSTROMOUKHOV_ARRAY.astype(np.float64)
+    div = tbl.sum(axis=1, keepdims=True)
+    return np.where(div == 0, 0.0, tbl / np.where(div == 0, 1.0, div)
+                    ).astype(np.float32)
+
+
 def _chunk_for(n_slots: int) -> int:
     """Steps per grid iteration: a multiple of n_slots (so every chunk
     starts at slot 0 and ALL slot indices are compile-time constants),
@@ -151,20 +163,24 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
                 cur = jnp.clip(cur, 0.0, 255.0)
 
             # Palette search: (pp, hp) squared distances on the VPU.
-            # NOTE: Mosaic may FMA-contract this accumulation
+            # `d2 + diff*diff` would get FMA-contracted by Mosaic
             # (--xla_allow_excess_precision; lax.optimization_barrier is not
-            # lowered in Pallas), flipping near-ties vs the host golden.
-            # ED chaos spreads those flips, so v1-on-TPU outputs are valid
-            # but not bit-matched to the golden engine — the packed kernel
-            # (all fixed/hybrid/perceptual/adaptive traffic) avoids the
-            # pattern and IS hardware-verified bit-identical.
+            # lowered in Pallas), flipping near-ties vs the host golden and
+            # letting ED chaos diverge. max(sq, 0) is an exact identity for
+            # squares that breaks the mul->add pattern, forcing the same
+            # separately-rounded f32 ops as the golden engine.
             d2 = jnp.zeros((pp, hp), jnp.float32)
             for c in range(3):
                 diff = pal[:, c:c + 1] - cur[c:c + 1, :]
-                d2 = d2 + diff * diff
-            idx = jnp.argmin(d2, axis=0, keepdims=True).astype(jnp.int32)
-
+                d2 = d2 + jnp.maximum(diff * diff, 0.0)
+            # First-wins argmin: Mosaic's argmin tie-breaking differs from
+            # the golden engine's strict `<` scan (exact ties are common —
+            # clamped channels make distances exactly equal), so select the
+            # smallest index among the minima explicitly.
             p_iota = jax.lax.broadcasted_iota(jnp.int32, (pp, hp), 0)
+            dmin = jnp.min(d2, axis=0, keepdims=True)
+            idx = jnp.min(jnp.where(d2 == dmin, p_iota, pp),
+                          axis=0, keepdims=True).astype(jnp.int32)
             onehot = (p_iota == idx).astype(jnp.float32)
             chosen = jnp.concatenate(
                 [jnp.sum(pal[:, c:c + 1] * onehot, axis=0, keepdims=True)
@@ -195,21 +211,24 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
                 err_buf[(j + delta) % n_slots] += contrib  # static index
 
             if mode == "ostromoukhov":
-                lum = jnp.clip(
-                    jnp.float32(0.299) * cur[0:1] + jnp.float32(0.587) * cur[1:2]
-                    + jnp.float32(0.114) * cur[2:3], 0.0, 255.0)
+                # Luminance with the golden engine's association
+                # (0.299r + 0.587g) + 0.114b; max(t, 0) is exact for the
+                # non-negative products (cur is clamped) and blocks FMA.
+                t0 = jnp.maximum(jnp.float32(0.299) * cur[0:1], 0.0)
+                t1 = jnp.maximum(jnp.float32(0.587) * cur[1:2], 0.0)
+                t2 = jnp.maximum(jnp.float32(0.114) * cur[2:3], 0.0)
+                lum = jnp.clip((t0 + t1) + t2, 0.0, 255.0)
                 li = lum.astype(jnp.int32)  # truncation, as the reference
                 l_iota = jax.lax.broadcasted_iota(jnp.int32, (256, hp), 0)
                 l_onehot = (l_iota == li).astype(jnp.float32)
-                table = aux_ref[:]  # (256, 3) float32 raw coefficients
-                c0 = jnp.sum(table[:, 0:1] * l_onehot, axis=0, keepdims=True)
-                c1 = jnp.sum(table[:, 1:2] * l_onehot, axis=0, keepdims=True)
-                c2 = jnp.sum(table[:, 2:3] * l_onehot, axis=0, keepdims=True)
-                div = c0 + c1 + c2
-                safe = jnp.where(div == 0, 1.0, div)
-                w0 = jnp.where(div == 0, 0.0, c0 / safe)
-                w1 = jnp.where(div == 0, 0.0, c1 / safe)
-                w2 = jnp.where(div == 0, 0.0, c2 / safe)
+                # aux_ref: (256, 3) f32 weights PRE-DIVIDED on host with f64
+                # division + f32 demotion — bit-matching the golden engine's
+                # NEP-50 weak-scalar semantics (native/ed_scan.cpp:121-124).
+                # One-hot selection of exact f32 values is exact.
+                table = aux_ref[:]
+                w0 = jnp.sum(table[:, 0:1] * l_onehot, axis=0, keepdims=True)
+                w1 = jnp.sum(table[:, 1:2] * l_onehot, axis=0, keepdims=True)
+                w2 = jnp.sum(table[:, 2:3] * l_onehot, axis=0, keepdims=True)
                 push(1, 0, err * w0)       # (x+1, y)      delta = 1
                 push(s - 1, 1, err * w1)   # (x-1, y+1)    delta = s-1
                 push(s, 1, err * w2)       # (x,   y+1)    delta = s
@@ -366,7 +385,7 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
         aux_skew = _skew(jnp.asarray(aux.astype(np.float32))[..., None],
                          s, h_frame, d_pad)
     elif mode == "ostromoukhov":
-        aux_skew = jnp.asarray(OSTROMOUKHOV_ARRAY.astype(np.float32))
+        aux_skew = jnp.asarray(_ostro_weight_table())
     else:
         aux_skew = jnp.zeros((1, 8), jnp.float32)  # unused dummy
 
@@ -423,28 +442,70 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                         lum_factor: float = 1.0, col_factor: float = 0.2):
     """A pure jit/shard_map-composable device function.
 
-    Returns ``fn(frames (B,H,W,3) f32, palette_padded (pp,3) f32) ->
-    (B,H,W,3) f32`` built entirely from traced ops (skew -> pallas scan ->
-    unskew -> palette take). Used by dither_pie_tpu.parallel for
+    Returns ``fn(frames (B,H,W,3) f32, palette (P,3) f32) -> (B,H,W,3) f32``
+    built entirely from traced ops (palette pad/pack -> skew -> pallas scan
+    -> unskew -> palette take). Used by dither_pie_tpu.parallel for
     data-parallel error diffusion across a device mesh (each chip scans its
     own frames; no cross-chip collectives are needed in steady state).
+
+    Dispatches to the packed v2 kernel (batch in sublanes, running-min
+    palette search — the hardware-bit-verified path) with the same
+    eligibility rule as ``_run``: everything except ostromoukhov and >64
+    color palettes, with sub-8 batches padded up (padded sublanes are free).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    if mode != "ostromoukhov" and p <= 64:
+        s, n_slots = _scan_params(mode, variant)
+        chunk = _chunk_for(n_slots)
+        lf, _, pp, d_pad = _plan(h, w, p, 1, s, chunk)
+        nb = max(batch, 8)
+        call = _compiled_packed(mode, variant, d_pad, nb, lf, pp,
+                                float(lum_factor), float(col_factor),
+                                bool(interpret))
+
+        def fn(frames, palette):
+            if batch < nb:
+                frames = jnp.concatenate(
+                    [frames, jnp.repeat(frames[-1:], nb - batch, axis=0)],
+                    axis=0)
+            cols = jnp.concatenate(
+                [palette.astype(jnp.float32),
+                 jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
+            pal_packed = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
+            sk = _skew_packed(frames, s, lf, d_pad)
+            dims = jnp.array([w, h], jnp.int32)
+            aux = jnp.zeros((1, 8), jnp.float32)
+            idx_skew = call(dims, sk, pal_packed, aux)
+            idx = _unskew_idx_packed(idx_skew, s, lf, h, w)  # (nb, H, W)
+            out = jnp.take(cols, idx.reshape(-1), axis=0)
+            return out.reshape(nb, h, w, 3)[:batch]
+
+        return fn
+
+    # v1 fallback: ostromoukhov (luminance LUT wants the one-hot lane form)
+    # and large palettes (the packed running-min loop unrolls per entry).
     call, s, h_frame, hp, pp, d_pad = _compiled(
         mode, variant, h, w, p, batch, float(lum_factor), float(col_factor),
         bool(interpret))
 
-    def fn(frames, palette_padded):
+    def fn(frames, palette):
+        cols = jnp.concatenate(
+            [palette.astype(jnp.float32),
+             jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
         sk = _skew(frames, s, h_frame, d_pad)
         dims = jnp.array([w, h], jnp.int32)
-        aux = jnp.zeros((1, 8), jnp.float32)
-        idx_skew = call(dims, sk, palette_padded, aux)
+        if mode == "ostromoukhov":
+            aux = jnp.asarray(_ostro_weight_table())
+        else:
+            aux = jnp.zeros((1, 8), jnp.float32)
+        idx_skew = call(dims, sk, cols, aux)
         idx = _unskew_idx(idx_skew, s, h_frame, h, w)
-        out = jnp.take(palette_padded, idx.reshape(-1), axis=0)
+        out = jnp.take(cols, idx.reshape(-1), axis=0)
         return out.reshape(batch, h, w, 3)
 
-    return fn, pp
+    return fn
 
 
 # ---------------------------------------------------------------------------

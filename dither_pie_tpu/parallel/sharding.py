@@ -86,30 +86,32 @@ def make_sharded_ed_step(mesh: Mesh, h: int, w: int, p: int,
     mean-absolute-quantization-error scalar rides along as the ICI check).
     Frames: (n_data * batch_per_chip, H, W, 3) f32, sharded on 'data'.
     """
-    from dither_pie_tpu.ops.wavefront import _pad_palette, wavefront_device_fn
+    from dither_pie_tpu.ops.wavefront import wavefront_device_fn
 
-    fn, pp = wavefront_device_fn("fixed", variant, h, w, p, batch_per_chip)
+    # Packed v2 kernel (hardware-bit-verified path); palette padding/packing
+    # happens inside the trace, so the raw (P, 3) palette is the argument.
+    fn = wavefront_device_fn("fixed", variant, h, w, p, batch_per_chip)
 
-    def local_step(frames, palette_padded):
-        out = fn(frames, palette_padded)
+    def local_step(frames, palette):
+        out = fn(frames, palette)
         err = jnp.mean(jnp.abs(out - frames))
         err = jax.lax.pmean(err, axis_name="data")
         return out, err
 
-    step = shard_map(
+    step = jax.jit(shard_map(
         local_step,
         mesh=mesh,
         in_specs=(P("data", None, None, None), P()),
         out_specs=(P("data", None, None, None), P()),
         # pallas_call out_shapes carry no varying-mesh-axis metadata.
         check_rep=False,
-    )
+    ))
 
     def run(frames_u8: np.ndarray, palette: np.ndarray):
-        pal_padded = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
+        pal = jnp.asarray(palette, jnp.float32)
         frames = jax.device_put(
             jnp.asarray(frames_u8, jnp.float32),
             NamedSharding(mesh, P("data", None, None, None)))
-        return jax.jit(step)(frames, pal_padded)
+        return step(frames, pal)
 
     return run

@@ -65,12 +65,22 @@ def test_sharded_ed_dp(mesh_4x2):
     out = np.asarray(out)
     assert out.shape == frames.shape
     assert float(err) > 0
+    from dither_pie_tpu.core.fidelity import assert_perceptually_matched
+
+    from dither_pie_tpu.ops import wavefront as wf
+    single = wf._run("fixed", frames.astype(np.float32).copy(), pal,
+                     variant="floyd_steinberg")
     for i in range(len(frames)):
+        # Sharding must add NO semantic change: bit-identical to the
+        # single-chip packed kernel on the same frames.
+        np.testing.assert_array_equal(out[i], single[i])
+        # And perceptually matched to the golden engine (frame 3 contains a
+        # genuine f32-vs-f64 near-tie; all other frames are bit-exact).
         native = ed_host.ed_fixed(frames[i].astype(np.float32).copy(), pal,
                                   "floyd_steinberg", False)
-        ident = np.all(out[i].astype(np.uint8) == native.astype(np.uint8),
-                       axis=-1).mean()
-        assert ident > 0.85  # f32-vs-f64 near-tie divergence only
+        assert_perceptually_matched(out[i].astype(np.uint8),
+                                    native.astype(np.uint8),
+                                    min_identical=0.95)
 
 
 def test_graft_entry():

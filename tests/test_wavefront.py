@@ -28,10 +28,17 @@ def _img(h=16, w=20, seed=0):
     return np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.float32)
 
 
-def _similar(a, b, min_identical=0.95):
-    """Identity fraction + 4x4 block mean-color agreement."""
-    ident = np.all(a == b, axis=-1).mean()
-    assert ident >= min_identical, f"identity {ident:.3f} < {min_identical}"
+def _similar(a, b, min_identical=0.98):
+    """Identity fraction + 4x4 block mean-color agreement (the perceptual
+    contract for ED modes: individual near-tie flips are allowed, drifting
+    local color statistics are not). Most paths are bit-exact after the
+    round-2 tie-break/FMA fixes; sierra_two_row retains a ~1% inherent
+    accumulation-order divergence vs the row-major golden scan."""
+    from dither_pie_tpu.core.fidelity import assert_perceptually_matched
+
+    assert_perceptually_matched(a, b, min_identical=min_identical,
+                                block=4, max_block_mean=8.0,
+                                max_block_max=48.0)
 
 
 def _numpy_twin(img, pal, entries, s, n_slots):
@@ -145,7 +152,7 @@ def test_odd_shapes(hw):
     img = _img(h, w, seed=h * 100 + w)
     o = wf.ed_fixed_wavefront(img.copy(), PAL, "stucki")
     n = ed_host.ed_fixed(img.copy(), PAL, "stucki", False)
-    _similar(o, n, min_identical=0.9)
+    _similar(o, n)
 
 
 def test_output_is_palette_colors():
