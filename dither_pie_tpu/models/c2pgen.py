@@ -136,6 +136,11 @@ def c2pgen_forward(p: Params, clipart: jnp.ndarray,
     feature = rgb_encoder(p, "RGBEnc", clipart)
     code = pixel_block_encoder(p, reference)
     adain = style_mlp(p, code) * s
+    if adain.shape[0] == 1 and feature.shape[0] > 1:
+        # One style reference serves the whole frame batch (the reference
+        # model always uses a single reference.png): compute the PBEnc/MLP
+        # path once and broadcast the 2048-d code over the batch.
+        adain = jnp.broadcast_to(adain, (feature.shape[0], adain.shape[1]))
     return rgb_decoder(p, "RGBDec", feature, adain)
 
 

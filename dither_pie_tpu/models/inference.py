@@ -79,6 +79,17 @@ class PixelizationModel:
     def load(self):
         ckpt = self.checkpoint_dir or find_checkpoint_dir()
         gen, alias = convert_checkpoints(ckpt)
+        self._set_params(gen, alias)
+
+    def load_random(self, seed: int = 0):
+        """Architecture-correct random weights (benchmarking / smoke tests
+        when the released checkpoints are absent)."""
+        from dither_pie_tpu.models.param_shapes import random_params
+
+        gen, alias = random_params(seed)
+        self._set_params(gen, alias)
+
+    def _set_params(self, gen, alias):
         self.gen_params = {k: jnp.asarray(v) for k, v in gen.items()}
         self.alias_params = {k: jnp.asarray(v) for k, v in alias.items()}
         ref_img = greyscale(Image.open(_REFERENCE_PNG).convert("L"))
@@ -102,3 +113,25 @@ class PixelizationModel:
         result = deprocess(self.forward_array(process(img)))
         tw, th = compute_even_dimensions(result.size[0], result.size[1], max_size)
         return result.resize((tw, th), Image.Resampling.NEAREST)
+
+    def pixelize_images_batch(self, images, max_size: int):
+        """Batched pixelize_image for same-size frames (the video path).
+
+        One device forward over the stacked (B, H, W, 3) batch replaces the
+        reference's sequential per-frame neural loop
+        (/root/reference/video_processor.py:240-303); the PIL pre/post
+        resizes stay per-frame for bit-parity with pixelize_image. Frames
+        whose pre-processed shapes differ (can't happen within one video)
+        fall back to the per-frame path.
+        """
+        pre = [process(resize_image_nearest(im.convert("RGB"), max_size * 4))
+               for im in images]
+        if len({p.shape for p in pre}) != 1:
+            return [self.pixelize_image(im, max_size) for im in images]
+        out = self.forward_array(np.concatenate(pre, axis=0))
+        results = []
+        for i in range(len(images)):
+            r = deprocess(out[i:i + 1])
+            tw, th = compute_even_dimensions(r.size[0], r.size[1], max_size)
+            results.append(r.resize((tw, th), Image.Resampling.NEAREST))
+        return results

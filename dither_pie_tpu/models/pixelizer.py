@@ -18,3 +18,7 @@ class NeuralPixelizer:
 
     def pixelize(self, image: Image.Image, max_size: int) -> Image.Image:
         return self._model.pixelize_image(image, max_size)
+
+    def pixelize_batch(self, images, max_size: int):
+        """Batched neural pixelization for same-size frames (video path)."""
+        return self._model.pixelize_images_batch(images, max_size)

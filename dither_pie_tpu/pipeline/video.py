@@ -59,6 +59,19 @@ def _pixelize_frame(arr: np.ndarray, method: Optional[str], max_size: int) -> np
     return arr
 
 
+def _pixelize_frames(arrs: List[np.ndarray], method: Optional[str],
+                     max_size: int) -> List[np.ndarray]:
+    """Batch-aware pixelization: the neural path stacks same-size frames
+    into ONE device forward (vs the reference's sequential per-frame loop,
+    /root/reference/video_processor.py:240-303); regular/none stay
+    per-frame host resizes (they are microseconds)."""
+    if method in (PixelizeMethod.NEURAL.value, "neural") and len(arrs) > 1:
+        outs = get_neural_pixelizer().pixelize_batch(
+            [Image.fromarray(a) for a in arrs], max_size)
+        return [np.array(o.convert("RGB")) for o in outs]
+    return [_pixelize_frame(a, method, max_size) for a in arrs]
+
+
 def _prefetch(iterable: Iterable, depth: int) -> Iterator:
     """Pull from ``iterable`` on a background thread through a bounded queue
     so frame decode overlaps device compute (double buffering at the host
@@ -142,10 +155,8 @@ def process_frames(
         nonlocal done, last_good, pending_patch
         if not batch:
             return
-        # Pixelization is per-frame host-side (PIL); sizes may change, so it
-        # happens before batch assembly.
         with stage("video.pixelize"):
-            pix = [_pixelize_frame(a, method, max_size) for a in batch]
+            pix = _pixelize_frames(batch, method, max_size)
         results = run_batch(pix)
         batch.clear()
         for res in results:

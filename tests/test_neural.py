@@ -137,6 +137,23 @@ def test_aliasnet_forward_parity(reference_models, inputs):
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
 
 
+def test_batched_forward_equals_per_frame(reference_models, inputs):
+    """The video path batches frames through one forward with a single
+    broadcast style reference; it must equal running each frame alone."""
+    gen, _ = reference_models
+    _, ref = inputs
+    rng = np.random.RandomState(5)
+    frames = rng.uniform(-1, 1, (3, 32, 32, 3)).astype(np.float32)
+    params = {k: jnp.asarray(v) for k, v in convert_generator_state(
+        {k: v.numpy() for k, v in gen.state_dict().items()}).items()}
+    batched = np.asarray(c2pgen_forward(params, jnp.asarray(frames),
+                                        jnp.asarray(ref)))
+    for i in range(3):
+        single = np.asarray(c2pgen_forward(params, jnp.asarray(frames[i:i + 1]),
+                                           jnp.asarray(ref)))
+        np.testing.assert_allclose(batched[i:i + 1], single, atol=1e-5)
+
+
 def test_full_pipeline_shapes(reference_models, inputs):
     """alias(c2pgen(x)) through the JAX port keeps shape and [-1,1] range."""
     gen, alias = reference_models

@@ -152,6 +152,45 @@ class TestVideoFrames:
         # 24x32 -> even-dims pixelize(16): h=16, w=22 (round(32/24*16)=21->22); x3 -> pad to even
         assert all(o.shape[0] % 2 == 0 and o.shape[1] % 2 == 0 for o in outs)
 
+    def test_neural_video_batch_path(self, monkeypatch):
+        """Neural video pixelization runs BATCHED on device (one forward per
+        frame batch) and matches the per-frame facade output."""
+        from dither_pie_tpu.models.inference import PixelizationModel
+        from dither_pie_tpu.models.pixelizer import NeuralPixelizer
+        from dither_pie_tpu.pipeline import pixelize as pixmod
+
+        model = PixelizationModel()
+        model.load_random(0)
+        npix = NeuralPixelizer.__new__(NeuralPixelizer)
+        npix._model = model
+        monkeypatch.setattr(pixmod, "_neural_singleton", npix)
+
+        calls = []
+        orig = model.forward_array
+
+        def counting_forward(in_t):
+            calls.append(in_t.shape[0])
+            return orig(in_t)
+
+        monkeypatch.setattr(model, "forward_array", counting_forward)
+
+        d = dpt.ImageDitherer(
+            num_colors=4, dither_mode=dpt.DitherMode.BAYER,
+            palette=[(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)])
+        frames = list(self._frames(6, h=32, w=40))
+        outs = list(process_frames(iter(frames), d,
+                                   pixelize_func=("neural", 16),
+                                   batch_size=3))
+        assert len(outs) == 6
+        # two batches of 3 -> two batched forwards, no per-frame fan-out
+        assert calls == [3, 3]
+        single = np.array(npix.pixelize(Image.fromarray(frames[0]), 16)
+                          .convert("RGB"))
+        batched = np.array(npix.pixelize_batch(
+            [Image.fromarray(f) for f in frames[:3]], 16)[0].convert("RGB"))
+        np.testing.assert_allclose(batched.astype(np.int16),
+                                   single.astype(np.int16), atol=1)
+
     def test_ed_batch_stream(self, monkeypatch):
         monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "native")
         d = dpt.ImageDitherer(
