@@ -147,7 +147,7 @@ def main():
 
         B_B = 2 if small else 8
         frames2 = jnp.asarray(np.stack(
-            [synth_image(H, W, 10 + i) for i in range(B_B)]).astype(np.float32))
+            [synth_image(H, W, 10 + i) for i in range(B_B)]))  # uint8
         pal32_dev = jnp.asarray(pal32)
         fn = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
                                     int(pal32.shape[0]), B_B, interpret=cpu)
@@ -155,11 +155,10 @@ def main():
         def fs_many(k):
             @jax.jit
             def f(frames, pal):
-                acc = jnp.float32(0)
+                acc = jnp.uint8(0)
                 for i in range(k):
-                    out = fn(frames + acc * jnp.float32(1e-6)
-                             + jnp.float32(i) * jnp.float32(1e-5), pal)
-                    acc = out[0, 0, 0, 0]
+                    out = fn(jnp.bitwise_xor(frames, acc ^ jnp.uint8(i)), pal)
+                    acc = out[0, 0, 0, 0].astype(jnp.uint8) & jnp.uint8(3)
                 return acc
             return lambda: f(frames2, pal32_dev)
 
@@ -305,7 +304,7 @@ def main():
         vh, vw = (96, 128) if small else (720, 1280)
         B_D = 2 if small else 8
         frames4 = jnp.asarray(np.stack(
-            [synth_image(vh, vw, 300 + i) for i in range(B_D)]).astype(np.float32))
+            [synth_image(vh, vw, 300 + i) for i in range(B_D)]))  # uint8
         pal16 = jnp.asarray(np.asarray(
             ColorReducer.generate_kmeans_palette(
                 Image.fromarray(synth_image(vh, vw, 40)), 16), np.float32))
@@ -315,11 +314,10 @@ def main():
         def st_many(k):
             @jax.jit
             def f(frames, pal):
-                acc = jnp.float32(0)
+                acc = jnp.uint8(0)
                 for i in range(k):
-                    out = fn4(frames + acc * jnp.float32(1e-6)
-                              + jnp.float32(i) * jnp.float32(1e-5), pal)
-                    acc = out[0, 0, 0, 0]
+                    out = fn4(jnp.bitwise_xor(frames, acc ^ jnp.uint8(i)), pal)
+                    acc = out[0, 0, 0, 0].astype(jnp.uint8) & jnp.uint8(3)
                 return acc
             return lambda: f(frames4, pal16)
 

@@ -42,6 +42,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "geometry": "",
         "grid_color": "#808080",
         "brush_size": 1,
+        "dialog_width": 760,
+        "dialog_height": 560,
+        "dialog_x": None,
+        "dialog_y": None,
     },
     "recent_files": [],
 }
@@ -91,8 +95,16 @@ class ConfigManager:
             node = node[k]
         return node
 
-    def set(self, *keys_and_value):
-        *keys, value = keys_and_value
+    _MISSING = object()
+
+    def set(self, *keys_and_value, value: Any = _MISSING):
+        """Set a nested key. Accepts both the reference's keyword form
+        ``set("a", "b", value=v)`` (/root/reference/config_manager.py:149)
+        and the positional ``set("a", "b", v)``."""
+        if value is not ConfigManager._MISSING:
+            keys = list(keys_and_value)
+        else:
+            *keys, value = keys_and_value
         node = self.config
         for k in keys[:-1]:
             node = node.setdefault(k, {})

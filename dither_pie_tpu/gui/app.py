@@ -33,7 +33,9 @@ from dither_pie_tpu.pipeline.pixelize import pixelize_regular
 from dither_pie_tpu.utils import (IMAGE_EXTENSIONS, VIDEO_EXTENSIONS,
                                   PaletteManager, import_lospec_palette)
 from dither_pie_tpu.gui.widgets import (CustomPaletteCreator,
-                                        DitherSettingsDialog, PalettePreview,
+                                        DitherSettingsDialog,
+                                        PaletteImagePreviewDialog,
+                                        PalettePreview,
                                         PixelizationEditorDialog,
                                         ProgressDialog, StatusBar,
                                         ZoomableImage, clamp_parameters)
@@ -327,7 +329,7 @@ class DitheringApp:
 
         PixelizationEditorDialog(self.root, self._active_source(),
                                  target_size=int(self.max_size_var.get()),
-                                 on_apply=apply)
+                                 on_apply=apply, config_mgr=self.config)
 
     # ------------------------------------------------------------ dither
 
@@ -426,13 +428,23 @@ class DitheringApp:
                              f"({len(pal['colors'])} colors)")
 
     def palette_from_image(self):
-        path = filedialog.askopenfilename(
-            filetypes=[("Images", " ".join(f"*{e}" for e in IMAGE_EXTENSIONS))])
-        if not path:
-            return
-        img = Image.open(path).convert("RGB")
-        n = int(self.colors_var.get())
-        palette = ColorReducer.generate_kmeans_palette(img, n)
+        # Confirm-or-retry loop with the preview dialog (reference flow:
+        # dither_pie_gui.py:1652-1717 + PaletteImagePreviewDialog).
+        while True:
+            path = filedialog.askopenfilename(
+                filetypes=[("Images",
+                            " ".join(f"*{e}" for e in IMAGE_EXTENSIONS))])
+            if not path:
+                return
+            img = Image.open(path).convert("RGB")
+            n = int(self.colors_var.get())
+            palette = ColorReducer.generate_kmeans_palette(img, n)
+            dlg = PaletteImagePreviewDialog(self.root, palette, path, n)
+            self.root.wait_window(dlg)
+            if dlg.use_result:
+                break
+            if not dlg.choose_another:
+                return  # closed without choosing
         name = simpledialog.askstring("Palette name", "Save palette as:",
                                       initialvalue=Path(path).stem, parent=self.root)
         if name:

@@ -620,32 +620,261 @@ class PixelizationEditorCanvas(tk.Canvas):
                 self.create_line(0, r * px, w * px, r * px, fill="#404040")
 
 
+class PaletteImagePreviewDialog(tk.Toplevel):
+    """Confirm-or-retry dialog for a palette generated from an image
+    (reference /root/reference/gui_components.py:1283-1325): shows a color
+    bar preview, sets ``use_result`` / ``choose_another`` for the caller."""
+
+    def __init__(self, master, palette: List[Tuple[int, int, int]],
+                 file_path: str, used_clusters: int):
+        super().__init__(master)
+        self.title("New Palette Preview")
+        self.resizable(False, False)
+        self.use_result = False
+        self.choose_another = False
+        self.transient(master)
+
+        name = Path(file_path).name
+        ttk.Label(self, justify="center",
+                  text=(f"Generated a {used_clusters}-color palette from:\n"
+                        f"{name}\n\nUse this palette or pick another image?")
+                  ).pack(padx=12, pady=(10, 0))
+        self.preview = PalettePreview(self, palette, width=300, height=30)
+        self.preview.pack(pady=10)
+        bf = ttk.Frame(self)
+        bf.pack(pady=5, fill="x")
+        ttk.Button(bf, text="Use This Palette", command=self._use
+                   ).pack(side="left", expand=True, fill="x", padx=5, pady=5)
+        ttk.Button(bf, text="Choose Another Image", command=self._retry
+                   ).pack(side="right", expand=True, fill="x", padx=5, pady=5)
+        self.grab_set()
+        self.lift()
+        self.focus_force()
+
+    def _use(self):
+        self.use_result = True
+        self.destroy()
+
+    def _retry(self):
+        self.choose_another = True
+        self.destroy()
+
+
+class GridPreviewCanvas(ZoomableImage):
+    """Pixelize-from-view preview: the source image with the sampling grid
+    drawn over it. Normal wheel zooms the image (grid rides along, it lives
+    in image space); Alt+wheel scales the GRID relative to the image and
+    Alt+drag offsets it, for aligning the sampling grid with the artwork
+    (reference Alt-zoom grid, gui_components.py:340-352)."""
+
+    def __init__(self, master, source: Image.Image, target_size: int, **kw):
+        super().__init__(master, **kw)
+        self.alt_down = False
+        self.grid_scale = 1.0
+        self.grid_offset = [0.0, 0.0]  # source-pixel units
+        self.target_size = target_size
+        self.set_image(source)
+
+    def set_target_size(self, target_size: int):
+        self.target_size = target_size
+        self.redraw()
+
+    def _on_wheel(self, e):
+        if self.alt_down:
+            factor = 1.05 if getattr(e, "delta", 0) > 0 or e.num == 4 else 0.95
+            self.grid_scale = min(max(self.grid_scale * factor, 0.1), 10.0)
+            self.redraw()
+        else:
+            super()._on_wheel(e)
+
+    def _on_drag(self, e):
+        if self.alt_down and self._drag_start:
+            x0, y0, ox, oy = self._drag_start
+            self.grid_offset[0] += (e.x - x0) / max(self.zoom, 1e-6)
+            self.grid_offset[1] += (e.y - y0) / max(self.zoom, 1e-6)
+            self._drag_start = (e.x, e.y, *self.offset)
+            self.redraw()
+        else:
+            super()._on_drag(e)
+
+    def grid_geometry(self):
+        """(tw, th, cell_w, cell_h) of the sampling grid in source pixels."""
+        from dither_pie_tpu.utils import compute_even_dimensions
+
+        w, h = self.original.size
+        tw, th = compute_even_dimensions(w, h, self.target_size)
+        return tw, th, w / tw * self.grid_scale, h / th * self.grid_scale
+
+    def redraw(self):
+        super().redraw()
+        if self.original is None:
+            return
+        tw, th, cw, ch = self.grid_geometry()
+        z = self.zoom
+        ox = self.offset[0] + self.grid_offset[0] * z
+        oy = self.offset[1] + self.grid_offset[1] * z
+        if cw * z < 3 or ch * z < 3:
+            return  # grid too dense to draw
+        for c in range(tw + 1):
+            x = ox + c * cw * z
+            self.create_line(x, oy, x, oy + th * ch * z, fill="#d0d050")
+        for r in range(th + 1):
+            y = oy + r * ch * z
+            self.create_line(ox, y, ox + tw * cw * z, y, fill="#d0d050")
+
+
 class PixelizationEditorDialog(tk.Toplevel):
-    """Pixelize-from-view editor: sample the source image at cell centers
-    into a target-size grid, edit with brush/fill/picker, return a PIL image."""
+    """Pixelize-from-view editor (reference PixelizationEditorDialog,
+    gui_components.py:1604-2106): preview stage with an alignable sampling
+    grid (Alt-zoom/Alt-drag) -> Convert samples at adjusted cell centers ->
+    edit stage (brush/fill/picker, Alt-hold temporary picker, Ctrl+Z/Y).
+    Window geometry persists via the config manager."""
 
     def __init__(self, master, source: Image.Image, target_size: int = 48,
-                 on_apply: Optional[Callable] = None):
+                 on_apply: Optional[Callable] = None, config_mgr=None):
         super().__init__(master)
         self.title("Pixelization editor")
         self.on_apply = on_apply
-        grid = sample_grid_from_image(source, target_size)
-        toolbar = ttk.Frame(self)
-        toolbar.pack(fill="x", padx=6, pady=6)
-        self.canvas = PixelizationEditorCanvas(self, grid, cell_px=max(
+        self.config_mgr = config_mgr
+        self.source = source.convert("RGB")
+        self._alt_pick_active = False
+        self._alt_prev_tool = None
+        self._load_geometry()
+
+        self.toolbar = ttk.Frame(self)
+        self.toolbar.pack(fill="x", padx=6, pady=6)
+        self.body = ttk.Frame(self)
+        self.body.pack(fill="both", expand=True, padx=6, pady=6)
+
+        self.preview: Optional[GridPreviewCanvas] = None
+        self.canvas: Optional[PixelizationEditorCanvas] = None
+        self._show_preview(target_size)
+
+        self.bind("<Control-z>", lambda e: self.canvas and self.canvas.undo())
+        self.bind("<Control-y>", lambda e: self.canvas and self.canvas.redo())
+        self.bind_all("<KeyPress-Alt_L>", self._on_alt_down)
+        self.bind_all("<KeyPress-Alt_R>", self._on_alt_down)
+        self.bind_all("<KeyRelease-Alt_L>", self._on_alt_up)
+        self.bind_all("<KeyRelease-Alt_R>", self._on_alt_up)
+        self.protocol("WM_DELETE_WINDOW", self._close)
+
+    # -- stages --
+
+    def _clear(self):
+        for child in list(self.toolbar.winfo_children()) + \
+                list(self.body.winfo_children()):
+            child.destroy()
+        self.preview = None
+        self.canvas = None
+
+    def _show_preview(self, target_size: int):
+        self._clear()
+        ttk.Label(self.toolbar, text="Target size:").pack(side="left")
+        self.size_var = tk.StringVar(value=str(target_size))
+        ent = ttk.Entry(self.toolbar, textvariable=self.size_var, width=5)
+        ent.pack(side="left", padx=4)
+        ttk.Button(self.toolbar, text="Convert",
+                   command=self._convert).pack(side="right")
+        ttk.Label(self.toolbar,
+                  text="Alt+wheel: scale grid, Alt+drag: move grid"
+                  ).pack(side="right", padx=8)
+        self.preview = GridPreviewCanvas(self.body, self.source, target_size,
+                                         width=640, height=480)
+        self.preview.pack(fill="both", expand=True)
+        self.size_var.trace_add(
+            "write", lambda *_: self._sync_target_size())
+
+    def _sync_target_size(self):
+        try:
+            n = int(self.size_var.get())
+            if n > 0 and self.preview:
+                self.preview.set_target_size(n)
+        except ValueError:
+            pass
+
+    def _convert(self):
+        if not self.preview:
+            return
+        tw, th, cw, ch = self.preview.grid_geometry()
+        grid = sample_grid_with_geometry(
+            self.source, (tw, th), (cw, ch), tuple(self.preview.grid_offset))
+        self._show_editor(grid)
+
+    def _show_editor(self, grid: np.ndarray):
+        self._clear()
+        self.canvas = PixelizationEditorCanvas(self.body, grid, cell_px=max(
             2, 512 // max(grid.shape[:2])))
         for label, tool in [("Brush", "brush"), ("Fill", "fill"), ("Pick", "picker")]:
-            ttk.Button(toolbar, text=label,
-                       command=lambda t=tool: setattr(self.canvas, "tool", t)
+            ttk.Button(self.toolbar, text=label,
+                       command=lambda t=tool: self._set_tool(t)
                        ).pack(side="left", padx=2)
-        ttk.Button(toolbar, text="Color...",
+        ttk.Button(self.toolbar, text="Color...",
                    command=self._choose_color).pack(side="left", padx=6)
-        ttk.Button(toolbar, text="Undo", command=self.canvas.undo).pack(side="left")
-        ttk.Button(toolbar, text="Redo", command=self.canvas.redo).pack(side="left")
-        ttk.Button(toolbar, text="Apply", command=self._apply).pack(side="right")
-        self.canvas.pack(padx=6, pady=6)
-        self.bind("<Control-z>", lambda e: self.canvas.undo())
-        self.bind("<Control-y>", lambda e: self.canvas.redo())
+        ttk.Button(self.toolbar, text="Undo",
+                   command=self.canvas.undo).pack(side="left")
+        ttk.Button(self.toolbar, text="Redo",
+                   command=self.canvas.redo).pack(side="left")
+        ttk.Button(self.toolbar, text="Back",
+                   command=lambda: self._show_preview(
+                       int(self.size_var.get()))).pack(side="right", padx=4)
+        ttk.Button(self.toolbar, text="Apply",
+                   command=self._apply).pack(side="right")
+        self.canvas.pack()
+
+    def _set_tool(self, tool: str):
+        if self.canvas:
+            self.canvas.tool = tool
+
+    # -- Alt-hold: temporary picker in edit mode, grid zoom in preview --
+
+    def _on_alt_down(self, _e):
+        if self.preview:
+            self.preview.alt_down = True
+        if self.canvas and not self._alt_pick_active \
+                and self.canvas.tool != "picker":
+            self._alt_prev_tool = self.canvas.tool
+            self._alt_pick_active = True
+            self.canvas.tool = "picker"
+
+    def _on_alt_up(self, _e):
+        if self.preview:
+            self.preview.alt_down = False
+        if self._alt_pick_active:
+            self._alt_pick_active = False
+            self.canvas.tool = self._alt_prev_tool or "brush"
+            self._alt_prev_tool = None
+
+    # -- geometry persistence (reference gui_components.py:1814-1860) --
+
+    def _load_geometry(self):
+        if not self.config_mgr:
+            self.geometry("760x560")
+            return
+        w = self.config_mgr.get("pixelization_editor", "dialog_width",
+                                default=760)
+        h = self.config_mgr.get("pixelization_editor", "dialog_height",
+                                default=560)
+        x = self.config_mgr.get("pixelization_editor", "dialog_x")
+        y = self.config_mgr.get("pixelization_editor", "dialog_y")
+        if x is not None and y is not None:
+            self.geometry(f"{w}x{h}+{x}+{y}")
+        else:
+            self.geometry(f"{w}x{h}")
+
+    def _save_geometry(self):
+        if not self.config_mgr:
+            return
+        size_pos = self.geometry().split("+")
+        size = size_pos[0].split("x")
+        self.config_mgr.set("pixelization_editor", "dialog_width",
+                            value=int(size[0]))
+        self.config_mgr.set("pixelization_editor", "dialog_height",
+                            value=int(size[1]))
+        if len(size_pos) >= 3:
+            self.config_mgr.set("pixelization_editor", "dialog_x",
+                                value=int(size_pos[1]))
+            self.config_mgr.set("pixelization_editor", "dialog_y",
+                                value=int(size_pos[2]))
 
     def _choose_color(self):
         rgb, _hex = colorchooser.askcolor(rgb_to_hex(self.canvas.brush_color),
@@ -653,9 +882,14 @@ class PixelizationEditorDialog(tk.Toplevel):
         if rgb:
             self.canvas.brush_color = tuple(int(v) for v in rgb)
 
+    def _close(self):
+        self._save_geometry()
+        self.destroy()
+
     def _apply(self):
-        if self.on_apply:
+        if self.on_apply and self.canvas is not None:
             self.on_apply(Image.fromarray(self.canvas.grid_data))
+        self._save_geometry()
         self.destroy()
 
 
@@ -669,4 +903,25 @@ def sample_grid_from_image(image: Image.Image, target_size: int) -> np.ndarray:
     arr = np.asarray(image.convert("RGB"))
     ys = ((np.arange(th) + 0.5) * h / th).astype(int).clip(0, h - 1)
     xs = ((np.arange(tw) + 0.5) * w / tw).astype(int).clip(0, w - 1)
+    return arr[ys[:, None], xs[None, :]]
+
+
+def sample_grid_with_geometry(image: Image.Image,
+                              grid_dims: Tuple[int, int],
+                              cell_size: Tuple[float, float],
+                              grid_offset: Tuple[float, float] = (0.0, 0.0)
+                              ) -> np.ndarray:
+    """Sample cell centers of an arbitrarily scaled/offset sampling grid
+    (the editor's Alt-adjusted grid). ``grid_dims`` = (tw, th) cells,
+    ``cell_size`` = (cw, ch) source pixels per cell, ``grid_offset`` in
+    source pixels. Out-of-image cells clamp to the border (reference
+    behavior: the grid can overhang). With scale 1 and offset 0 this equals
+    ``sample_grid_from_image``."""
+    tw, th = grid_dims
+    cw, ch = cell_size
+    ox, oy = grid_offset
+    w, h = image.size
+    arr = np.asarray(image.convert("RGB"))
+    ys = np.floor((np.arange(th) + 0.5) * ch + oy).astype(int).clip(0, h - 1)
+    xs = np.floor((np.arange(tw) + 0.5) * cw + ox).astype(int).clip(0, w - 1)
     return arr[ys[:, None], xs[None, :]]

@@ -158,7 +158,7 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
             active_f = ((col >= 0) & (col < w_real)
                         & (y_local < h_real)).astype(jnp.float32)
 
-            cur = img_ref[:, j, :] + err_buf[slot]  # (3, hp)
+            cur = img_ref[j] + err_buf[slot]  # (3, hp)
             if clamp_before:
                 cur = jnp.clip(cur, 0.0, 255.0)
 
@@ -193,7 +193,7 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
             err_buf[slot] = jnp.zeros((3, hp), jnp.float32)
 
             if mode == "perceptual" or mode == "adaptive":
-                err = err * aux_ref[:, j, :]  # (1, hp) sensitivity / gate
+                err = err * aux_ref[j]  # (1, hp) sensitivity / gate
             elif mode == "hybrid":
                 lum_err = (jnp.float32(0.299) * err[0:1]
                            + jnp.float32(0.587) * err[1:2]
@@ -242,9 +242,9 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # dims (2,) int32: (w, h)
-            pl.BlockSpec((3, chunk, hp), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, 3, hp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # palette (pp, 3)
-            (pl.BlockSpec((1, chunk, hp), lambda g: (0, g, 0), memory_space=pltpu.VMEM)
+            (pl.BlockSpec((chunk, 1, hp), lambda g: (g, 0, 0), memory_space=pltpu.VMEM)
              if has_aux_stream
              else pl.BlockSpec(memory_space=pltpu.VMEM)),  # table or dummy
         ],
@@ -279,22 +279,87 @@ def _plan(h: int, w: int, p: int, batch: int, s: int, chunk: int,
     return h_frame, hp, pp, d_pad
 
 
-@functools.partial(jax.jit, static_argnames=("s", "h_frame", "d_pad"))
-def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int) -> jnp.ndarray:
-    """(B, H, W, C) any-dtype -> (C, d_pad, B*h_frame) f32 skewed, zeros
-    outside. Cast happens on device so hosts can ship uint8 (4x less
-    transfer)."""
-    images = images.astype(jnp.float32)
+# Skew/unskew are pure pad+reshape+slice (NO gathers — arbitrary-index
+# gathers lower to element-wise loops on TPU and dominated the scan cost by
+# ~8x before this formulation).
+#
+# Lemma: view a row-major (lf, Wp) buffer with row stride d_pad = Wp - s and
+# row y is shifted right by s*y:
+#   out[y, d] = flat[y*Wp + (d - s*y)] = in[y, d - s*y].
+# Positions with d < s*y or d >= s*y + W read OTHER rows' data/padding; they
+# lie outside the image parallelogram, which the kernel masks inactive (the
+# error contribution is zeroed and unskew never reads them), so their values
+# are irrelevant. The inverse view (row stride d_pad + s over a buffer laid
+# out with stride d_pad) undoes the shift the same way.
+#
+# The one real data movement left is putting the wavefront axis d leading
+# (the scan grid streams d-chunks): XLA lowers that u8 transpose at
+# ~18 GB/s (~13 ms per 1080p x8 batch), so a tiny Pallas kernel does it
+# instead with in-VMEM (lane <-> sublane) transposes fused with the u8->f32
+# cast — 0.6 ms measured, 21x faster.
+
+
+def _pick_rb(r: int) -> int:
+    """Plane-block: full r when small, else a divisor that is a multiple of
+    8 (out-block sublane constraint), keeping VMEM blocks ~<=3 MB."""
+    if r <= 48:
+        return r
+    for rb in (48, 24, 16, 8):
+        if r % rb == 0:
+            return rb
+    return r
+
+
+@functools.lru_cache(maxsize=64)
+def _skew_transpose_call(r: int, lf: int, d_t: int, in_dtype: str,
+                         interpret: bool):
+    """(r, lf, d_t) in_dtype -> (d_t, r, lf) f32: per-plane 2D transposes
+    fused with the f32 cast; grid blocked over d, lf, and planes."""
+    rb = _pick_rb(r)
+    lfb = 384 if (lf % 384 == 0 and rb * 384 * 128 * 4 * 2 <= 5_000_000) \
+        else 128
+
+    def kernel(in_ref, out_ref):
+        for i in range(rb):
+            x = in_ref[i]
+            if x.dtype == jnp.uint8:
+                # Mosaic has no direct u8->f32 convert; hop through int32.
+                x = x.astype(jnp.int32)
+            out_ref[:, i, :] = x.astype(jnp.float32).T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(d_t // 128, lf // lfb, r // rb),
+        in_specs=[pl.BlockSpec((rb, lfb, 128), lambda g, y, ri: (ri, y, g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((128, rb, lfb), lambda g, y, ri: (g, ri, y),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_t, r, lf), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("s", "h_frame", "d_pad", "interpret"))
+def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
+          interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W, C) any-dtype -> (d_pad, C, B*h_frame) f32 skewed (v1
+    layout: batch folded into lanes, wavefront axis leading)."""
+    images = jnp.asarray(images)
     b, h, w, c = images.shape
-    d_idx = jnp.arange(d_pad)[:, None]
-    y_idx = jnp.arange(h_frame)[None, :]
-    col = d_idx - s * y_idx  # (d_pad, h_frame)
-    valid = (col >= 0) & (col < w) & (y_idx < h)
-    colc = jnp.clip(col, 0, w - 1)
-    rowc = jnp.clip(y_idx, 0, h - 1)
-    g = images[:, rowc, colc, :]  # (B, d_pad, h_frame, C)
-    g = jnp.where(valid[None, :, :, None], g, 0.0)
-    return g.transpose(3, 1, 0, 2).reshape(c, d_pad, b * h_frame)
+    d_t = _round_up(d_pad, 128)
+    wp = d_t + s
+    x = jnp.pad(images, ((0, 0), (0, h_frame - h), (0, wp - w), (0, 0)))
+    x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame * wp)
+    x = x[:, : h_frame * d_t].reshape(c * b, h_frame, d_t)
+    t = _skew_transpose_call(c * b, h_frame, d_t, images.dtype.name,
+                             interpret)(x)
+    if d_t != d_pad:
+        t = t[:d_pad]
+    return t.reshape(d_pad, c, b * h_frame)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "h_frame", "h", "w"))
@@ -302,11 +367,10 @@ def _unskew_idx(idx_skew: jnp.ndarray, s: int, h_frame: int, h: int, w: int) -> 
     """(d_pad, B*h_frame) int32 -> (B, H, W) palette indices."""
     d_pad = idx_skew.shape[0]
     b = idx_skew.shape[1] // h_frame
-    flat = idx_skew.reshape(d_pad, b, h_frame)
-    y_idx = jnp.arange(h)[:, None]
-    x_idx = jnp.arange(w)[None, :]
-    d_of = x_idx + s * y_idx  # (H, W)
-    return flat[d_of, :, y_idx].transpose(2, 0, 1)  # (B, H, W)
+    flat = idx_skew.reshape(d_pad, b, h_frame).transpose(1, 2, 0)  # (B, lf, D)
+    flat = flat.reshape(b, h_frame * d_pad)
+    flat = jnp.pad(flat, ((0, 0), (0, h_frame * s)))
+    return flat.reshape(b, h_frame, d_pad + s)[:, :h, :w]
 
 
 def _pad_palette(pal: np.ndarray, pp: int) -> np.ndarray:
@@ -378,12 +442,13 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     call, s, h_frame, hp, pp, d_pad = _compiled(
         mode, variant, h, w, p, b, float(lum_factor), float(col_factor), interpret)
 
-    img_skew = _skew(jnp.asarray(images), s, h_frame, d_pad)
+    img_skew = _skew(jnp.asarray(images), s, h_frame, d_pad,
+                     interpret=bool(interpret))
     pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
 
     if mode in ("perceptual", "adaptive"):
         aux_skew = _skew(jnp.asarray(aux.astype(np.float32))[..., None],
-                         s, h_frame, d_pad)
+                         s, h_frame, d_pad, interpret=bool(interpret))
     elif mode == "ostromoukhov":
         aux_skew = jnp.asarray(_ostro_weight_table())
     else:
@@ -392,8 +457,8 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     idx_skew = call(dims, img_skew, pal_dev, aux_skew)
     idx = _unskew_idx(idx_skew, s, h_frame, h, w)  # (B, H, W)
-    out = jnp.take(jnp.asarray(palette, jnp.float32), idx.reshape(-1), axis=0)
-    return np.asarray(out).reshape(b, h, w, 3)
+    out = _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
+    return np.asarray(out)
 
 
 # ---------------------------------------------------------------------------
@@ -474,13 +539,15 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                 [palette.astype(jnp.float32),
                  jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
             pal_packed = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
-            sk = _skew_packed(frames, s, lf, d_pad)
+            sk = _skew_packed(frames, s, lf, d_pad,
+                              interpret=bool(interpret))
             dims = jnp.array([w, h], jnp.int32)
             aux = jnp.zeros((1, 8), jnp.float32)
             idx_skew = call(dims, sk, pal_packed, aux)
             idx = _unskew_idx_packed(idx_skew, s, lf, h, w)  # (nb, H, W)
-            out = jnp.take(cols, idx.reshape(-1), axis=0)
-            return out.reshape(nb, h, w, 3)[:batch]
+            out = _select_palette_colors(idx[:batch],
+                                         palette.astype(jnp.float32))
+            return out
 
         return fn
 
@@ -494,7 +561,7 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
         cols = jnp.concatenate(
             [palette.astype(jnp.float32),
              jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
-        sk = _skew(frames, s, h_frame, d_pad)
+        sk = _skew(frames, s, h_frame, d_pad, interpret=bool(interpret))
         dims = jnp.array([w, h], jnp.int32)
         if mode == "ostromoukhov":
             aux = jnp.asarray(_ostro_weight_table())
@@ -502,8 +569,7 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
             aux = jnp.zeros((1, 8), jnp.float32)
         idx_skew = call(dims, sk, cols, aux)
         idx = _unskew_idx(idx_skew, s, h_frame, h, w)
-        out = jnp.take(cols, idx.reshape(-1), axis=0)
-        return out.reshape(batch, h, w, 3)
+        return _select_palette_colors(idx, palette.astype(jnp.float32))
 
     return fn
 
@@ -631,31 +697,46 @@ def _compiled_packed(mode: str, variant: str, d_pad: int, nb: int, lf: int,
                                 interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad"))
-def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad", "interpret"))
+def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int,
+                 interpret: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) any-dtype -> (D, 3B, lf) f32: rows channel-major
-    (c*B + b). Cast on device (ship uint8)."""
-    images = images.astype(jnp.float32)
+    (c*B + b). Pad+reshape skew (no gather — see lemma above); the Pallas
+    transpose kernel moves the wavefront axis leading and fuses the f32
+    cast."""
+    images = jnp.asarray(images)
     b, h, w, _ = images.shape
-    d_idx = jnp.arange(d_pad)[:, None]
-    y_idx = jnp.arange(lf)[None, :]
-    col = d_idx - s * y_idx
-    valid = (col >= 0) & (col < w) & (y_idx < h)
-    colc = jnp.clip(col, 0, w - 1)
-    rowc = jnp.clip(y_idx, 0, h - 1)
-    g = images[:, rowc, colc, :]  # (B, d_pad, lf, 3)
-    g = jnp.where(valid[None, :, :, None], g, 0.0)
-    return g.transpose(1, 3, 0, 2).reshape(d_pad, 3 * b, lf)
+    d_t = _round_up(d_pad, 128)
+    wp = d_t + s
+    x = jnp.pad(images, ((0, 0), (0, lf - h), (0, wp - w), (0, 0)))
+    x = x.transpose(3, 0, 1, 2).reshape(3 * b, lf * wp)
+    x = x[:, : lf * d_t].reshape(3 * b, lf, d_t)
+    t = _skew_transpose_call(3 * b, lf, d_t, images.dtype.name, interpret)(x)
+    return t[:d_pad] if d_t != d_pad else t
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _select_palette_colors(idx: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
+    """(...,) int32 indices + (P, 3) f32 palette -> (..., 3) colors via a
+    chained select over the (small) palette — a 16M-element `jnp.take`
+    gather lowers to an element-wise loop on TPU (~34 ms at 1080p x8) while
+    this fuses into one vectorized pass (~1 ms)."""
+    p = palette.shape[0]
+    out = jnp.zeros(idx.shape + (3,), jnp.float32)
+    for i in range(p):
+        out = jnp.where((idx == i)[..., None], palette[i], out)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("s", "lf", "h", "w"))
 def _unskew_idx_packed(idx_skew: jnp.ndarray, s: int, lf: int, h: int,
                        w: int) -> jnp.ndarray:
-    """(d_pad, B, lf) int32 -> (B, H, W)."""
-    y_idx = jnp.arange(h)[:, None]
-    x_idx = jnp.arange(w)[None, :]
-    d_of = x_idx + s * y_idx  # (H, W)
-    return idx_skew[d_of, :, y_idx].transpose(2, 0, 1)
+    """(d_pad, B, lf) int32 -> (B, H, W). Inverse pad+reshape view."""
+    d_pad = idx_skew.shape[0]
+    b = idx_skew.shape[1]
+    flat = idx_skew.transpose(1, 2, 0).reshape(b, lf * d_pad)
+    flat = jnp.pad(flat, ((0, 0), (0, lf * s)))
+    return flat.reshape(b, lf, d_pad + s)[:, :h, :w]
 
 
 def _pad_palette_packed(pal: np.ndarray, pp: int, nb: int) -> np.ndarray:
@@ -683,16 +764,18 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                             float(lum_factor), float(col_factor),
                             bool(interpret))
 
-    img_skew = _skew_packed(jnp.asarray(images), s, lf, d_pad)
+    img_skew = _skew_packed(jnp.asarray(images), s, lf, d_pad,
+                             interpret=bool(interpret))
     pal_dev = jnp.asarray(_pad_palette_packed(palette.astype(np.float32), pp, b))
     if mode in ("perceptual", "adaptive"):
         # (B, H, W) aux -> (d_pad, B, lf) skewed
         aux4 = jnp.asarray(aux.astype(np.float32))[..., None]
-        aux_skew = _skew_packed(aux4.repeat(3, axis=-1), s, lf, d_pad)[:, :b, :]
+        aux_skew = _skew_packed(aux4.repeat(3, axis=-1), s, lf, d_pad,
+                                 interpret=bool(interpret))[:, :b, :]
     else:
         aux_skew = jnp.zeros((1, 8), jnp.float32)
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     idx_skew = call(dims, img_skew, pal_dev, aux_skew)
     idx = _unskew_idx_packed(idx_skew, s, lf, h, w)
-    out = jnp.take(jnp.asarray(palette, jnp.float32), idx.reshape(-1), axis=0)
-    return np.asarray(out).reshape(b, h, w, 3)
+    out = _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
+    return np.asarray(out)

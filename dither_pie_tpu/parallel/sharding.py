@@ -109,8 +109,9 @@ def make_sharded_ed_step(mesh: Mesh, h: int, w: int, p: int,
 
     def run(frames_u8: np.ndarray, palette: np.ndarray):
         pal = jnp.asarray(palette, jnp.float32)
+        # Ship u8: the skew transposes in the input dtype (4x less traffic).
         frames = jax.device_put(
-            jnp.asarray(frames_u8, jnp.float32),
+            jnp.asarray(frames_u8),
             NamedSharding(mesh, P("data", None, None, None)))
         return step(frames, pal)
 

@@ -43,6 +43,45 @@ def test_sample_grid_from_image():
     assert np.all(grid[:, grid.shape[1] // 2:] == 255)
 
 
+def test_sample_grid_with_geometry_identity():
+    """Scale 1 / offset 0 must equal the plain cell-center sampler."""
+    from dither_pie_tpu.gui.widgets import sample_grid_with_geometry
+
+    rng = np.random.RandomState(0)
+    arr = rng.randint(0, 256, (64, 96, 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    base = sample_grid_from_image(img, 16)
+    th, tw = base.shape[:2]
+    geo = sample_grid_with_geometry(img, (tw, th), (96 / tw, 64 / th))
+    np.testing.assert_array_equal(base, geo)
+
+
+def test_sample_grid_with_geometry_offset_and_clamp():
+    from dither_pie_tpu.gui.widgets import sample_grid_with_geometry
+
+    arr = np.zeros((32, 32, 3), np.uint8)
+    arr[:, 16:] = 255
+    img = Image.fromarray(arr)
+    # Offset the grid right by half the image: all sampled centers >= 16.
+    g = sample_grid_with_geometry(img, (8, 8), (4.0, 4.0),
+                                  grid_offset=(16.0, 0.0))
+    assert np.all(g == 255)
+    # Large negative offset clamps to the left border (black).
+    g = sample_grid_with_geometry(img, (8, 8), (4.0, 4.0),
+                                  grid_offset=(-100.0, 0.0))
+    assert np.all(g == 0)
+
+
+def test_config_manager_set_both_forms(tmp_path):
+    from dither_pie_tpu.api.config_manager import ConfigManager
+
+    cfg = ConfigManager(str(tmp_path / "c.json"))
+    cfg.set("pixelization_editor", "dialog_width", value=801)  # reference form
+    cfg.set("pixelization_editor", "dialog_height", 601)       # positional
+    assert cfg.get("pixelization_editor", "dialog_width") == 801
+    assert cfg.get("pixelization_editor", "dialog_height") == 601
+
+
 def test_gui_modules_import():
     import dither_pie_tpu.gui.app  # noqa: F401
     import dither_pie_tpu.gui.widgets  # noqa: F401
