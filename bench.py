@@ -145,7 +145,7 @@ def main():
             Image.fromarray(frame2), 32), np.float32)
         details["kmeans_palette_colors"] = int(pal32.shape[0])
 
-        B_B = 2 if small else 8
+        B_B = 2 if small else 16  # the video pipeline's default batch
         frames2 = jnp.asarray(np.stack(
             [synth_image(H, W, 10 + i) for i in range(B_B)]))  # uint8
         pal32_dev = jnp.asarray(pal32)
@@ -153,12 +153,15 @@ def main():
                                     int(pal32.shape[0]), B_B, interpret=cpu)
 
         def fs_many(k):
+            # Chain dependency via a palette perturbation (defeats CSE and
+            # relay dedup; a 384-byte copy instead of a full-frame pass).
             @jax.jit
             def f(frames, pal):
-                acc = jnp.uint8(0)
+                acc = jnp.float32(0)
                 for i in range(k):
-                    out = fn(jnp.bitwise_xor(frames, acc ^ jnp.uint8(i)), pal)
-                    acc = out[0, 0, 0, 0].astype(jnp.uint8) & jnp.uint8(3)
+                    out = fn(frames, pal.at[0, 0].set(
+                        acc + jnp.float32(i % 3)))
+                    acc = out[0, 0, 0, 0] * jnp.float32(1e-8)
                 return acc
             return lambda: f(frames2, pal32_dev)
 
@@ -314,10 +317,11 @@ def main():
         def st_many(k):
             @jax.jit
             def f(frames, pal):
-                acc = jnp.uint8(0)
+                acc = jnp.float32(0)
                 for i in range(k):
-                    out = fn4(jnp.bitwise_xor(frames, acc ^ jnp.uint8(i)), pal)
-                    acc = out[0, 0, 0, 0].astype(jnp.uint8) & jnp.uint8(3)
+                    out = fn4(frames, pal.at[0, 0].set(
+                        acc + jnp.float32(i % 3)))
+                    acc = out[0, 0, 0, 0] * jnp.float32(1e-8)
                 return acc
             return lambda: f(frames4, pal16)
 

@@ -427,9 +427,12 @@ class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
         if wf is not None:
             return wf.ed_batch_wavefront(np.asarray(images), pal,
                                          "fixed", self.variant)
+        # Serpentine video batches take the SIMD f32 fast path (reference
+        # Numba-path semantics); single images keep the exact engine.
         return _threaded_frames(
-            lambda im: _ed_host.ed_fixed(im.astype(np.float32).copy(), pal,
-                                         self.variant, self.serpentine),
+            lambda im: _ed_host.ed_fixed_fast(im.astype(np.float32).copy(),
+                                              pal, self.variant,
+                                              self.serpentine),
             list(images), images)
 
 
@@ -632,6 +635,14 @@ class RiemersmaDitherStrategy(BaseDitherStrategy):
         img, pal = _prep(pixels, palette_arr, image_size)
         out = _ed_host.ed_riemersma(img, pal)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
+
+    def dither_batch(self, images, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        # Video batches: SIMD f32 fast path, threaded across frames.
+        return _threaded_frames(
+            lambda im: _ed_host.ed_riemersma_fast(
+                im.astype(np.float32).copy(), pal),
+            list(images), images)
 
 
 # -------------------- Wavelet --------------------

@@ -33,27 +33,34 @@ _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
 
 
+_CFLAGS = [
+    "-O3",
+    "-march=native",  # vectorize the f32 fast-path distance loops
+    "-fPIC",
+    "-shared",
+    # Float determinism: the engine is a golden reference, so no
+    # fast-math / contraction (FMA would change rounding vs NumPy).
+    "-ffp-contract=off",
+    "-fno-fast-math",
+]
+
+
 def _compile() -> Path:
-    src_hash = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
-    out = _BUILD_DIR / f"libed_scan_{src_hash}.so"
+    key = hashlib.sha256(
+        _SRC.read_bytes() + " ".join(_CFLAGS).encode()).hexdigest()[:16]
+    out = _BUILD_DIR / f"libed_scan_{key}.so"
     if out.exists():
         return out
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
     tmp = out.with_suffix(".so.tmp")
-    cmd = [
-        "g++",
-        "-O2",
-        "-fPIC",
-        "-shared",
-        # Float determinism: the engine is a golden reference, so no
-        # fast-math / contraction (FMA would change rounding vs NumPy).
-        "-ffp-contract=off",
-        "-fno-fast-math",
-        str(_SRC),
-        "-o",
-        str(tmp),
-    ]
-    subprocess.run(cmd, check=True, capture_output=True)
+    cmd = ["g++", *_CFLAGS, str(_SRC), "-o", str(tmp)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        # Old toolchains / exotic hosts: retry without -march=native.
+        cmd = ["g++", *[f for f in _CFLAGS if f != "-march=native"],
+               str(_SRC), "-o", str(tmp)]
+        subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, out)
     return out
 
@@ -66,8 +73,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ed_perceptual.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _f32p]
     lib.ed_adaptive.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _u8p]
     lib.ed_riemersma.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, ctypes.c_int64]
+    lib.ed_fixed_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, _f32p, c_i, c_i]
+    lib.ed_riemersma_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p,
+                                     ctypes.c_int64]
     for fn in ("ed_fixed", "ed_ostromoukhov", "ed_hybrid", "ed_perceptual",
-               "ed_adaptive", "ed_riemersma"):
+               "ed_adaptive", "ed_riemersma", "ed_fixed_f32",
+               "ed_riemersma_f32"):
         getattr(lib, fn).restype = None
     return lib
 

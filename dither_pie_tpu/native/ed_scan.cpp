@@ -55,6 +55,50 @@ static void final_clamp(float* work, int n) {
 }
 
 // ---------------------------------------------------------------------------
+// SIMD-friendly f32 palette scan (the video fast path). Semantics match the
+// reference's NUMBA path (dithering_lib.py:240-252: float32 distances), not
+// the f64 KDTree ordering of the exact functions above — the reference's
+// own two paths diverge the same way at f32 near-ties. Palette is prepared
+// once per image as padded SoA; the distance loop is branch-free so the
+// compiler vectorizes it (-O3 -march=native), and the argmin stays scalar
+// over a tiny stack array.
+// ---------------------------------------------------------------------------
+#define MAX_PAL 256
+
+struct PalSoA {
+    float r[MAX_PAL], g[MAX_PAL], b[MAX_PAL];
+    int pp;
+};
+
+static void pal_soa(const float* pal, int p, PalSoA* s) {
+    int pp = (p + 15) & ~15;  // pad to a SIMD-friendly multiple of 16
+    if (pp > MAX_PAL) pp = MAX_PAL;
+    for (int i = 0; i < p && i < MAX_PAL; ++i) {
+        s->r[i] = pal[3 * i];
+        s->g[i] = pal[3 * i + 1];
+        s->b[i] = pal[3 * i + 2];
+    }
+    for (int i = p; i < pp; ++i) {  // sentinels never win
+        s->r[i] = 1.0e18f; s->g[i] = 1.0e18f; s->b[i] = 1.0e18f;
+    }
+    s->pp = pp;
+}
+
+static inline int nearest_idx_f32(const PalSoA* s, float r, float g, float b) {
+    float d2[MAX_PAL];
+    const int pp = s->pp;
+    for (int i = 0; i < pp; ++i) {  // branch-free: auto-vectorizes
+        float dr = r - s->r[i], dg = g - s->g[i], db = b - s->b[i];
+        d2[i] = dr * dr + dg * dg + db * db;
+    }
+    int best = 0;  // first strict minimum wins, like the exact path
+    for (int i = 1; i < pp; ++i) {
+        if (d2[i] < d2[best]) best = i;
+    }
+    return best;
+}
+
+// ---------------------------------------------------------------------------
 // Fixed-weight error diffusion (floyd_steinberg / jjn / stucki / burkes /
 // atkinson / sierra / sierra_two_row / sierra_lite), optional serpentine.
 // offs: (n,2) int32 (dx, dy); wts: (n) float32 pre-divided weights.
@@ -74,6 +118,43 @@ void ed_fixed(float* work, int h, int w,
             float b = clampf(px[2], 0.0f, 255.0f);
             int bi = nearest_idx(pal, p, r, g, b);
             float cr = pal[3 * bi], cg = pal[3 * bi + 1], cb = pal[3 * bi + 2];
+            px[0] = cr; px[1] = cg; px[2] = cb;
+            float e0 = r - cr, e1 = g - cg, e2 = b - cb;
+            for (int k = 0; k < n_off; ++k) {
+                int nx = x + offs[2 * k] * dir;
+                int ny = y + offs[2 * k + 1];
+                if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                    float wq = wts[k];
+                    float* q = work + 3 * (ny * w + nx);
+                    q[0] += e0 * wq;
+                    q[1] += e1 * wq;
+                    q[2] += e2 * wq;
+                }
+            }
+        }
+    }
+    final_clamp(work, h * w * 3);
+}
+
+// f32 fast-path twin of ed_fixed (video serpentine throughput; palettes
+// beyond MAX_PAL colors must use the exact path).
+void ed_fixed_f32(float* work, int h, int w,
+                  const float* pal, int p,
+                  const int32_t* offs, const float* wts, int n_off,
+                  int serpentine) {
+    PalSoA s;
+    pal_soa(pal, p, &s);
+    for (int y = 0; y < h; ++y) {
+        int x_start, x_end, x_step, dir;
+        if (serpentine && (y & 1)) { x_start = w - 1; x_end = -1; x_step = -1; dir = -1; }
+        else { x_start = 0; x_end = w; x_step = 1; dir = 1; }
+        for (int x = x_start; x != x_end; x += x_step) {
+            float* px = work + 3 * (y * w + x);
+            float r = clampf(px[0], 0.0f, 255.0f);
+            float g = clampf(px[1], 0.0f, 255.0f);
+            float b = clampf(px[2], 0.0f, 255.0f);
+            int bi = nearest_idx_f32(&s, r, g, b);
+            float cr = s.r[bi], cg = s.g[bi], cb = s.b[bi];
             px[0] = cr; px[1] = cg; px[2] = cb;
             float e0 = r - cr, e1 = g - cg, e2 = b - cb;
             for (int k = 0; k < n_off; ++k) {
@@ -274,6 +355,36 @@ void ed_riemersma(float* work, int h, int w,
         float r = px[0], g = px[1], b = px[2];
         int bi = nearest_idx(pal, p, r, g, b);
         float cr = pal[3 * bi], cg = pal[3 * bi + 1], cb = pal[3 * bi + 2];
+        px[0] = cr; px[1] = cg; px[2] = cb;
+        float e0 = r - cr, e1 = g - cg, e2 = b - cb;
+        for (int k = 0; k < 4; ++k) {
+            int64_t j = i + 1 + k;
+            if (j >= n_path) break;
+            int r2 = path[2 * j], c2 = path[2 * j + 1];
+            if (r2 < h && c2 < w) {
+                float* q = work + 3 * (r2 * w + c2);
+                q[0] = clampf(q[0] + e0 * fs[k], 0.0f, 255.0f);
+                q[1] = clampf(q[1] + e1 * fs[k], 0.0f, 255.0f);
+                q[2] = clampf(q[2] + e2 * fs[k], 0.0f, 255.0f);
+            }
+        }
+    }
+}
+
+// f32 fast-path twin of ed_riemersma.
+void ed_riemersma_f32(float* work, int h, int w,
+                      const float* pal, int p,
+                      const int32_t* path, int64_t n_path) {
+    PalSoA s;
+    pal_soa(pal, p, &s);
+    const float fs[4] = {7.0f / 16.0f, 1.0f / 16.0f, 5.0f / 16.0f, 3.0f / 16.0f};
+    for (int64_t i = 0; i < n_path; ++i) {
+        int rr = path[2 * i], cc = path[2 * i + 1];
+        if (rr >= h || cc >= w) continue;
+        float* px = work + 3 * (rr * w + cc);
+        float r = px[0], g = px[1], b = px[2];
+        int bi = nearest_idx_f32(&s, r, g, b);
+        float cr = s.r[bi], cg = s.g[bi], cb = s.b[bi];
         px[0] = cr; px[1] = cg; px[2] = cb;
         float e0 = r - cr, e1 = g - cg, e2 = b - cb;
         for (int k = 0; k < 4; ++k) {

@@ -57,6 +57,46 @@ def ed_fixed(
     return work
 
 
+def ed_fixed_fast(
+    work: np.ndarray,
+    palette: np.ndarray,
+    variant: str = "atkinson",
+    serpentine: bool = False,
+) -> np.ndarray:
+    """SIMD f32 fast path (video throughput): distances in float32, matching
+    the reference's Numba-path semantics (dithering_lib.py:240-252) instead
+    of the exact path's f64 KDTree ordering. Falls back to the exact engine
+    for >256-color palettes or when the native lib is unavailable."""
+    if palette.shape[0] > 256:
+        return ed_fixed(work, palette, variant, serpentine)
+    lib = get_lib()
+    if lib is None:
+        return ed_fixed(work, palette, variant, serpentine)
+    work = np.ascontiguousarray(work, dtype=np.float32)
+    pal = np.ascontiguousarray(palette, dtype=np.float32)
+    offs, wts = kernel_arrays(variant)
+    h, w, _ = work.shape
+    lib.ed_fixed_f32(work, h, w, pal, pal.shape[0], offs, wts, len(wts),
+                     int(serpentine))
+    return work
+
+
+def ed_riemersma_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """SIMD f32 fast path for the Hilbert-curve scan (see ed_fixed_fast)."""
+    if palette.shape[0] > 256:
+        return ed_riemersma(work, palette)
+    lib = get_lib()
+    if lib is None:
+        return ed_riemersma(work, palette)
+    work = np.ascontiguousarray(work, dtype=np.float32)
+    pal = np.ascontiguousarray(palette, dtype=np.float32)
+    h, w, _ = work.shape
+    dim = next_power_of_two(max(h, w))
+    path = np.ascontiguousarray(hilbert_path(dim))
+    lib.ed_riemersma_f32(work, h, w, pal, pal.shape[0], path, path.shape[0])
+    return work
+
+
 def ed_ostromoukhov(
     work: np.ndarray, palette: np.ndarray, serpentine: bool = False
 ) -> np.ndarray:

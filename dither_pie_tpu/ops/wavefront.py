@@ -412,8 +412,9 @@ def _compiled(mode: str, variant: str, h: int, w: int, p: int, batch: int,
 def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
          aux: Optional[np.ndarray] = None, lum_factor: float = 1.0,
          col_factor: float = 0.2, interpret: Optional[bool] = None) -> np.ndarray:
-    """images (B, H, W, 3) f32; aux (B, H, W) f32 or None. Returns (B, H, W, 3)
-    f32 palette colors."""
+    """images (B, H, W, 3) u8 or f32; aux (B, H, W) f32 or None. Returns
+    (B, H, W, 3) uint8 palette colors (u8 end-to-end: f32 NHWC materializes
+    with 42x tile padding on TPU)."""
     if mode != "ostromoukhov" and palette.shape[0] <= 64:
         # Packed-layout kernel: ~2x faster (full sublane tiles) and verified
         # bit-identical to the native golden engine on hardware. Batches
@@ -507,8 +508,8 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                         lum_factor: float = 1.0, col_factor: float = 0.2):
     """A pure jit/shard_map-composable device function.
 
-    Returns ``fn(frames (B,H,W,3) f32, palette (P,3) f32) -> (B,H,W,3) f32``
-    built entirely from traced ops (palette pad/pack -> skew -> pallas scan
+    Returns ``fn(frames (B,H,W,3) u8/f32, palette (P,3) f32) -> (B,H,W,3)
+    uint8 palette colors`` built entirely from traced ops (palette pad/pack -> skew -> pallas scan
     -> unskew -> palette take). Used by dither_pie_tpu.parallel for
     data-parallel error diffusion across a device mesh (each chip scans its
     own frames; no cross-chip collectives are needed in steady state).
@@ -717,15 +718,24 @@ def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int,
 
 @functools.partial(jax.jit, static_argnames=())
 def _select_palette_colors(idx: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
-    """(...,) int32 indices + (P, 3) f32 palette -> (..., 3) colors via a
-    chained select over the (small) palette — a 16M-element `jnp.take`
-    gather lowers to an element-wise loop on TPU (~34 ms at 1080p x8) while
-    this fuses into one vectorized pass (~1 ms)."""
+    """(...,) int32 indices + (P, 3) f32 palette -> (..., 3) uint8 colors
+    via a chained select over the (small) palette.
+
+    Two TPU traps avoided here: a 16M-element `jnp.take` gather lowers to an
+    element-wise loop (~34 ms at 1080p x8), and any materialized f32 array
+    with minor dimension 3 gets tile-padded 42.7x (3 -> 128 lanes) — at
+    1080p x16 that is a 15.8 GB temp, which OOMs HBM. So the selects run
+    per-CHANNEL on clean (B, H, W) tiles and only the final uint8 stack
+    carries the (..., 3) layout (u8 sublane packing cuts the padding 4x).
+    Palette colors are integers, so the u8 cast is exact."""
     p = palette.shape[0]
-    out = jnp.zeros(idx.shape + (3,), jnp.float32)
-    for i in range(p):
-        out = jnp.where((idx == i)[..., None], palette[i], out)
-    return out
+    planes = []
+    for c in range(3):
+        oc = jnp.zeros(idx.shape, jnp.float32)
+        for i in range(p):
+            oc = jnp.where(idx == i, palette[i, c], oc)
+        planes.append(oc.astype(jnp.uint8))
+    return jnp.stack(planes, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("s", "lf", "h", "w"))

@@ -93,8 +93,9 @@ def make_sharded_ed_step(mesh: Mesh, h: int, w: int, p: int,
     fn = wavefront_device_fn("fixed", variant, h, w, p, batch_per_chip)
 
     def local_step(frames, palette):
-        out = fn(frames, palette)
-        err = jnp.mean(jnp.abs(out - frames))
+        out = fn(frames, palette)  # uint8 palette colors
+        err = jnp.mean(jnp.abs(out.astype(jnp.float32)
+                               - frames.astype(jnp.float32)))
         err = jax.lax.pmean(err, axis_name="data")
         return out, err
 

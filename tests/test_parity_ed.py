@@ -126,3 +126,34 @@ def test_hilbert_order_matches_reference(reference):
 
     ref_path = reference._hilbert_order(16)
     np.testing.assert_array_equal(hilbert_path(16), ref_path)
+
+
+def test_fast_f32_paths_match_exact_perceptually(rand_image):
+    """The SIMD f32 fast path (video throughput; reference Numba-path
+    semantics) must stay perceptually identical to the exact f64-ordering
+    engine — near-tie flips only."""
+    from dither_pie_tpu.core.fidelity import assert_perceptually_matched
+    from dither_pie_tpu.ops import ed_host
+
+    img = rand_image.astype(np.float32)
+    pal = np.asarray([(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)],
+                     np.float32)
+    for serp in (False, True):
+        exact = ed_host.ed_fixed(img.copy(), pal, "floyd_steinberg", serp)
+        fast = ed_host.ed_fixed_fast(img.copy(), pal, "floyd_steinberg", serp)
+        assert_perceptually_matched(fast, exact, min_identical=0.95)
+    exact = ed_host.ed_riemersma(img.copy(), pal)
+    fast = ed_host.ed_riemersma_fast(img.copy(), pal)
+    assert_perceptually_matched(fast, exact, min_identical=0.95)
+
+
+def test_fast_f32_large_palette_falls_back(rand_image):
+    """>256-color palettes route to the exact engine (identical output)."""
+    from dither_pie_tpu.ops import ed_host
+
+    rng = np.random.RandomState(0)
+    pal = rng.randint(0, 256, (300, 3)).astype(np.float32)
+    img = rand_image.astype(np.float32)
+    exact = ed_host.ed_fixed(img.copy(), pal, "stucki", False)
+    fast = ed_host.ed_fixed_fast(img.copy(), pal, "stucki", False)
+    np.testing.assert_array_equal(fast, exact)
