@@ -474,8 +474,8 @@ class OstromoukhovDitherStrategy(BaseDitherStrategy):
         if wf is not None:
             return wf.ed_batch_wavefront(np.asarray(images), pal, "ostromoukhov")
         return _threaded_frames(
-            lambda im: _ed_host.ed_ostromoukhov(im.astype(np.float32).copy(), pal,
-                                                self.serpentine),
+            lambda im: _ed_host.ed_ostromoukhov_fast(
+                im.astype(np.float32).copy(), pal, self.serpentine),
             list(images), images)
 
 

@@ -222,6 +222,54 @@ void ed_ostromoukhov(float* work, int h, int w,
     final_clamp(work, h * w * 3);
 }
 
+// f32 fast-path twin of ed_ostromoukhov (weights still f64-divided then
+// f32-demoted, matching the exact path).
+void ed_ostromoukhov_f32(float* work, int h, int w,
+                         const float* pal, int p,
+                         const int32_t* table, int serpentine) {
+    PalSoA s;
+    pal_soa(pal, p, &s);
+    for (int y = 0; y < h; ++y) {
+        int x_start, x_end, x_step, dir;
+        if (serpentine && (y & 1)) { x_start = w - 1; x_end = -1; x_step = -1; dir = -1; }
+        else { x_start = 0; x_end = w; x_step = 1; dir = 1; }
+        for (int x = x_start; x != x_end; x += x_step) {
+            float* px = work + 3 * (y * w + x);
+            float r = clampf(px[0], 0.0f, 255.0f);
+            float g = clampf(px[1], 0.0f, 255.0f);
+            float b = clampf(px[2], 0.0f, 255.0f);
+            int bi = nearest_idx_f32(&s, r, g, b);
+            float cr = s.r[bi], cg = s.g[bi], cb = s.b[bi];
+            px[0] = cr; px[1] = cg; px[2] = cb;
+            float e0 = r - cr, e1 = g - cg, e2 = b - cb;
+            float lum = 0.299f * r + 0.587f * g + 0.114f * b;
+            lum = clampf(lum, 0.0f, 255.0f);
+            int ii = (int)lum;
+            int32_t c0 = table[3 * ii], c1 = table[3 * ii + 1], c2 = table[3 * ii + 2];
+            int32_t div = c0 + c1 + c2;
+            if (div == 0) continue;
+            float w0 = (float)((double)c0 / (double)div);
+            float w1 = (float)((double)c1 / (double)div);
+            float w2 = (float)((double)c2 / (double)div);
+            int nx = x + dir;
+            if (nx >= 0 && nx < w) {
+                float* q = work + 3 * (y * w + nx);
+                q[0] += e0 * w0; q[1] += e1 * w0; q[2] += e2 * w0;
+            }
+            if (y + 1 < h) {
+                int mx = x - dir;
+                if (mx >= 0 && mx < w) {
+                    float* q = work + 3 * ((y + 1) * w + mx);
+                    q[0] += e0 * w1; q[1] += e1 * w1; q[2] += e2 * w1;
+                }
+                float* q = work + 3 * ((y + 1) * w + x);
+                q[0] += e0 * w2; q[1] += e1 * w2; q[2] += e2 * w2;
+            }
+        }
+    }
+    final_clamp(work, h * w * 3);
+}
+
 // ---------------------------------------------------------------------------
 // Hybrid luminance/chroma-split diffusion (Floyd-Steinberg weights, row-major).
 // ---------------------------------------------------------------------------

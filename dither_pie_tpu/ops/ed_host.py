@@ -81,6 +81,24 @@ def ed_fixed_fast(
     return work
 
 
+def ed_ostromoukhov_fast(
+    work: np.ndarray, palette: np.ndarray, serpentine: bool = False
+) -> np.ndarray:
+    """SIMD f32 fast path for Ostromoukhov (see ed_fixed_fast)."""
+    if palette.shape[0] > 256:
+        return ed_ostromoukhov(work, palette, serpentine)
+    lib = get_lib()
+    if lib is None:
+        return ed_ostromoukhov(work, palette, serpentine)
+    work = np.ascontiguousarray(work, dtype=np.float32)
+    pal = np.ascontiguousarray(palette, dtype=np.float32)
+    h, w, _ = work.shape
+    lib.ed_ostromoukhov_f32(work, h, w, pal, pal.shape[0],
+                            np.ascontiguousarray(OSTROMOUKHOV_ARRAY),
+                            int(serpentine))
+    return work
+
+
 def ed_riemersma_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """SIMD f32 fast path for the Hilbert-curve scan (see ed_fixed_fast)."""
     if palette.shape[0] > 256:

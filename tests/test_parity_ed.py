@@ -145,6 +145,10 @@ def test_fast_f32_paths_match_exact_perceptually(rand_image):
     exact = ed_host.ed_riemersma(img.copy(), pal)
     fast = ed_host.ed_riemersma_fast(img.copy(), pal)
     assert_perceptually_matched(fast, exact, min_identical=0.95)
+    for serp in (False, True):
+        exact = ed_host.ed_ostromoukhov(img.copy(), pal, serp)
+        fast = ed_host.ed_ostromoukhov_fast(img.copy(), pal, serp)
+        assert_perceptually_matched(fast, exact, min_identical=0.95)
 
 
 def test_fast_f32_large_palette_falls_back(rand_image):
