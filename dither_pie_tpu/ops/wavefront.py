@@ -26,11 +26,13 @@ Variants are compile-time specializations of one kernel builder:
 Serpentine scans have no wavefront (each reversed row depends on the LAST
 pixel of the previous row) and stay on the native engine.
 
-Numerical note: palette search here is float32 (the reference's KDTree is
-float64). Error diffusion is chaotic, so isolated argmin flips at near-ties
-diverge locally; outputs are perceptually matched, not bit-equal, to the
-host engine — see tests/test_wavefront.py for both the bit-exact mechanics
-check (vs a NumPy twin of this exact arithmetic) and the perceptual checks.
+Numerical note: palette search is float32 (the reference's KDTree is
+float64), but with the FMA guard, first-wins argmin, and host-pre-divided
+LUT weights (see DESIGN.md "Numerics") every kernel here is bit-identical
+to the C++ golden engine on real TPU hardware for all tested content;
+genuinely-close f32-vs-f64 near-ties on adversarial content degrade
+gracefully to the perceptual gate (core/fidelity.py). Outputs are uint8
+palette colors (f32 NHWC materialization is tile-padded 42x on TPU).
 """
 
 from __future__ import annotations
@@ -100,10 +102,10 @@ def _chunk_for(n_slots: int) -> int:
 
 
 def _chunk_for_v1(n_slots: int) -> int:
-    """v1 layout blocks are (3, chunk, hp) / (chunk, hp): Mosaic requires
-    the second-to-last block dim to be divisible by 8, so the v1 chunk must
-    be a common multiple of n_slots and 8 (the packed layout keeps chunk on
-    the leading dim and is exempt)."""
+    """v1 OUTPUT blocks are (chunk, hp): Mosaic requires the second-to-last
+    block dim to be divisible by 8, so the v1 chunk must be a common
+    multiple of n_slots and 8 (the packed layout's out block is
+    (chunk, nb, lf) with chunk leading and is exempt)."""
     c = n_slots
     while c % 8 or c < 8:
         c += n_slots

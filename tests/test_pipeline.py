@@ -228,6 +228,14 @@ class TestCLI:
         cfg = json.loads(r.stdout)
         assert cfg["dithering"]["mode"] == "bayer"
 
+    def test_cli_package_entry_point(self):
+        """`python -m dither_pie_tpu.cli` (the documented surface) works."""
+        r = subprocess.run([sys.executable, "-m", "dither_pie_tpu.cli",
+                            "--example-config"], capture_output=True, text=True,
+                           env=self._env(), cwd="/root/repo")
+        assert r.returncode == 0
+        assert json.loads(r.stdout)["dithering"]["mode"] == "bayer"
+
     def test_cli_image_run(self, tmp_path, tmp_image):
         out = tmp_path / "result.png"
         cfgp = _write_config(tmp_path, {
