@@ -166,6 +166,31 @@ def read_single_frame(video_path: str, index: int = 0) -> Optional[np.ndarray]:
     return np.frombuffer(out[: w * h * 3], np.uint8).reshape(h, w, 3)
 
 
+def encode_command(output_path: str, width: int, height: int, fps: float,
+                   source_path: Optional[str] = None,
+                   total_frames: Optional[int] = None):
+    """The ffmpeg encode invocation — identical encoder settings to the
+    reference (video_processor.py:361-377): libx264 preset medium crf 18
+    yuv420p, audio (1:a?) and subtitles (1:s?) stream-copied from the
+    source container, -vframes N so audio length cannot pad the video.
+    Factored out so tests can pin the flags without running ffmpeg."""
+    cmd = [FFMPEG or "ffmpeg", "-y",
+           "-f", "rawvideo", "-pix_fmt", "rgb24",
+           "-s", f"{width}x{height}", "-framerate", f"{fps:.5f}", "-i", "-"]
+    if source_path:
+        cmd += ["-i", source_path,
+                "-map", "0:v:0", "-map", "1:a?", "-map", "1:s?"]
+    cmd += ["-c:v", "libx264", "-preset", "medium", "-crf", "18",
+            "-pix_fmt", "yuv420p"]
+    if total_frames:
+        # Prevent ffmpeg padding the video to the audio's duration.
+        cmd += ["-vframes", str(total_frames)]
+    if source_path:
+        cmd += ["-c:a", "copy", "-c:s", "copy"]
+    cmd += ["-v", "error", output_path]
+    return cmd
+
+
 class FrameWriter:
     """Encode raw RGB frames with libx264 (crf 18, yuv420p), mapping audio
     and subtitles from the original container with codec copy — identical
@@ -187,20 +212,8 @@ class FrameWriter:
                   "install ffmpeg for libx264 + audio/subtitle copy",
                   file=sys.stderr)
             return
-        cmd = [FFMPEG, "-y",
-               "-f", "rawvideo", "-pix_fmt", "rgb24",
-               "-s", f"{width}x{height}", "-framerate", f"{fps:.5f}", "-i", "-"]
-        if source_path:
-            cmd += ["-i", source_path,
-                    "-map", "0:v:0", "-map", "1:a?", "-map", "1:s?"]
-        cmd += ["-c:v", "libx264", "-preset", "medium", "-crf", "18",
-                "-pix_fmt", "yuv420p"]
-        if total_frames:
-            # Prevent ffmpeg padding the video to the audio's duration.
-            cmd += ["-vframes", str(total_frames)]
-        if source_path:
-            cmd += ["-c:a", "copy", "-c:s", "copy"]
-        cmd += ["-v", "error", output_path]
+        cmd = encode_command(output_path, width, height, fps,
+                             source_path, total_frames)
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                                      stderr=subprocess.DEVNULL)
 

@@ -16,12 +16,40 @@ from pathlib import Path
 from dither_pie_tpu.pipeline.ffio import FFMPEG, ffmpeg_available, probe_video
 
 
-def _sanitize(src: str, dst: str, fps: float, height: int):
-    cmd = [FFMPEG, "-y", "-i", src,
-           "-vf", f"scale=-2:{height},fps={fps:.5f}",
-           "-c:v", "libx264", "-preset", "fast", "-crf", "18",
-           "-pix_fmt", "yuv420p", "-c:a", "aac", "-v", "error", dst]
-    subprocess.run(cmd, check=True)
+def sanitize_cmd(src: str, dst: str, fps: float, height: int):
+    """Stage-1 sanitize: re-encode to a common fps / even height. NEIGHBOR
+    scaling preserves pixel-art sharpness (the reference's explicit goal,
+    misc/vid_conc.py:52-66)."""
+    return [FFMPEG or "ffmpeg", "-y", "-i", src,
+            "-vf", f"scale=-2:{height}:flags=neighbor,fps={fps:.5f}",
+            "-c:v", "libx264", "-preset", "fast", "-crf", "18",
+            "-pix_fmt", "yuv420p", "-c:a", "aac", "-v", "error", dst]
+
+
+def combine_cmd(clean, output: str, vertical: bool, merge_audio: bool):
+    """Stage-2 combine: hstack/vstack; for two inputs, the reference's exact
+    stereo downmix (`amerge,pan=stereo|c0<c0+c2|c1<c1+c3`,
+    misc/vid_conc.py:54-66); for more, amerge + -ac 2."""
+    n = len(clean)
+    stack = "vstack" if vertical else "hstack"
+    fc = "".join(f"[{i}:v]" for i in range(n)) + f"{stack}=inputs={n}[v]"
+    maps = ["-map", "[v]"]
+    if merge_audio:
+        fc += ";" + "".join(f"[{i}:a]" for i in range(n)) + \
+              f"amerge=inputs={n}"
+        if n == 2:
+            fc += ",pan=stereo|c0<c0+c2|c1<c1+c3[a]"
+            maps += ["-map", "[a]"]
+        else:
+            fc += "[a]"
+            maps += ["-map", "[a]", "-ac", "2"]
+    cmd = [FFMPEG or "ffmpeg", "-y"]
+    for c in clean:
+        cmd += ["-i", c]
+    cmd += ["-filter_complex", fc, *maps,
+            "-c:v", "libx264", "-crf", "18", "-pix_fmt", "yuv420p",
+            "-v", "error", output]
+    return cmd
 
 
 def concat_side_by_side(inputs, output: str, vertical: bool = False,
@@ -33,38 +61,19 @@ def concat_side_by_side(inputs, output: str, vertical: bool = False,
     fps = max(i["fps"] for i in infos)
     height = min(i["height"] for i in infos)
     height -= height % 2
-    stack = "vstack" if vertical else "hstack"
     with tempfile.TemporaryDirectory() as td:
         clean = []
         for i, src in enumerate(inputs):
             dst = str(Path(td) / f"clean_{i}.mp4")
-            _sanitize(src, dst, fps, height)
+            subprocess.run(sanitize_cmd(src, dst, fps, height), check=True)
             clean.append(dst)
-        n = len(clean)
-        fc = "".join(f"[{i}:v]" for i in range(n)) + f"{stack}=inputs={n}[v]"
-        cmd = [FFMPEG, "-y"]
-        for c in clean:
-            cmd += ["-i", c]
-        maps = ["-map", "[v]"]
-        if merge_audio:
-            fc += ";" + "".join(f"[{i}:a]" for i in range(n)) + \
-                  f"amerge=inputs={n}[a]"
-            maps += ["-map", "[a]", "-ac", "2"]
-        cmd += ["-filter_complex", fc, *maps,
-                "-c:v", "libx264", "-crf", "18", "-pix_fmt", "yuv420p",
-                "-v", "error", output]
         try:
-            subprocess.run(cmd, check=True)
+            subprocess.run(combine_cmd(clean, output, vertical, merge_audio),
+                           check=True)
         except subprocess.CalledProcessError:
             # Retry without audio (inputs may be silent).
-            fc = "".join(f"[{i}:v]" for i in range(n)) + f"{stack}=inputs={n}[v]"
-            cmd = [FFMPEG, "-y"]
-            for c in clean:
-                cmd += ["-i", c]
-            cmd += ["-filter_complex", fc, "-map", "[v]",
-                    "-c:v", "libx264", "-crf", "18", "-pix_fmt", "yuv420p",
-                    "-v", "error", output]
-            subprocess.run(cmd, check=True)
+            subprocess.run(combine_cmd(clean, output, vertical, False),
+                           check=True)
     return True
 
 

@@ -330,3 +330,56 @@ class TestTools:
 
         if not ffmpeg_available():
             assert concat_side_by_side(["a.mp4", "b.mp4"], "out.mp4") is False
+
+
+class TestFFmpegCommandParity:
+    """The encode/compose invocations must carry the reference's flags —
+    pinned WITHOUT running ffmpeg (absent in this container)."""
+
+    def test_encode_command_matches_reference_flags(self):
+        from dither_pie_tpu.pipeline.ffio import encode_command
+
+        # Reference encoder settings: video_processor.py:361-377.
+        cmd = encode_command("out.mp4", 640, 360, 30.0,
+                             source_path="src.mp4", total_frames=90)
+        s = " ".join(cmd)
+        for needle in ["-c:v libx264", "-preset medium", "-crf 18",
+                       "-pix_fmt yuv420p", "-vframes 90",
+                       "-map 0:v:0", "-map 1:a?", "-map 1:s?",
+                       "-c:a copy", "-c:s copy"]:
+            assert needle in s, needle
+        # -vframes must come before the output path (it applies to it).
+        assert cmd.index("-vframes") < cmd.index("out.mp4")
+
+    def test_encode_command_no_source(self):
+        from dither_pie_tpu.pipeline.ffio import encode_command
+
+        s = " ".join(encode_command("o.mp4", 64, 64, 24.0))
+        assert "-map" not in s and "-c:a copy" not in s
+        assert "-c:v libx264" in s
+
+    def test_vid_conc_commands_match_reference(self):
+        from dither_pie_tpu.tools.vid_conc import combine_cmd, sanitize_cmd
+
+        # Sanitize: NEIGHBOR scaling preserves pixel art (ref
+        # misc/vid_conc.py:52-66 scales with flags=neighbor).
+        s = " ".join(sanitize_cmd("a.mp4", "c.mp4", 29.97, 720))
+        assert "flags=neighbor" in s and "-c:v libx264" in s
+
+        # Combine, two inputs: reference's exact stereo downmix
+        # (misc/vid_conc.py:54-66) and hstack/vstack filters.
+        cmd = combine_cmd(["c0.mp4", "c1.mp4"], "out.mp4",
+                          vertical=False, merge_audio=True)
+        fc = cmd[cmd.index("-filter_complex") + 1]
+        assert "hstack=inputs=2[v]" in fc
+        assert "amerge=inputs=2,pan=stereo|c0<c0+c2|c1<c1+c3[a]" in fc
+        assert "-crf" in cmd and cmd[cmd.index("-crf") + 1] == "18"
+
+        cmd_v = combine_cmd(["c0.mp4", "c1.mp4"], "out.mp4",
+                            vertical=True, merge_audio=True)
+        assert "vstack=inputs=2[v]" in cmd_v[cmd_v.index("-filter_complex") + 1]
+
+        # No-audio retry path maps only [v].
+        cmd_na = combine_cmd(["c0.mp4", "c1.mp4"], "out.mp4",
+                             vertical=False, merge_audio=False)
+        assert "amerge" not in " ".join(cmd_na)
