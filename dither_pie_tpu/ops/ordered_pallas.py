@@ -122,9 +122,17 @@ def _compiled(p_count: int, rows: int, w: int, interpret: bool,
 
 @functools.partial(jax.jit, static_argnames=("rp", "wp"))
 def _prep_planar_u8(images: jnp.ndarray, rp: int, wp: int):
+    """(B, H, W, 3) u8 -> (3, rp, wp) planar padded.
+
+    Built from 2D (rows, w) intermediates only: XLA's layout assignment can
+    pick a channel-minor layout ({0,2,1}) for a materialized (3, N, W) u8
+    array, which tile-pads it 42x (26 GB at 100x1080p). 2D arrays always
+    get the sane {1,0} layout, and the final reshape to 3D is layout-free."""
     b, h, w, _ = images.shape
-    x = images.astype(jnp.uint8).transpose(3, 0, 1, 2).reshape(3, b * h, w)
-    return jnp.pad(x, ((0, 0), (0, rp - b * h), (0, wp - w)))
+    planes = [jnp.pad(images[..., c].reshape(b * h, w).astype(jnp.uint8),
+                      ((0, rp - b * h), (0, wp - w)))
+              for c in range(3)]
+    return jnp.concatenate(planes, axis=0).reshape(3, rp, wp)
 
 
 def _pad_palette_sentinel(palette: jnp.ndarray, p_pad: int) -> jnp.ndarray:
