@@ -349,10 +349,23 @@ def _skew_transpose_call(r: int, lf: int, d_t: int, in_dtype: str,
 def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
           interpret: bool = False) -> jnp.ndarray:
     """(B, H, W, C) any-dtype -> (d_pad, C, B*h_frame) f32 skewed (v1
-    layout: batch folded into lanes, wavefront axis leading)."""
+    layout: batch folded into lanes, wavefront axis leading). Compiled
+    path: fused skew-transpose kernel; interpret path: stride-lemma
+    reference formulation."""
     images = jnp.asarray(images)
     b, h, w, c = images.shape
     d_t = _round_up(d_pad, 128)
+    if not interpret:
+        n_in = -(-(255 + 127 * s) // 128)
+        wcp = max(_round_up(w, 128), n_in * 128)
+        x = jnp.pad(images, ((0, 0), (0, h_frame - h), (0, wcp - w), (0, 0)))
+        x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame, wcp)
+        call = _skew_transpose_fused_call(c * b, h_frame, d_t, s, wcp,
+                                          images.dtype.name, False)
+        t = call(*([x] * n_in))
+        if d_t != d_pad:
+            t = t[:d_pad]
+        return t.reshape(d_pad, c, b * h_frame)
     wp = d_t + s
     x = jnp.pad(images, ((0, 0), (0, h_frame - h), (0, wp - w), (0, 0)))
     x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame * wp)
@@ -700,14 +713,117 @@ def _compiled_packed(mode: str, variant: str, d_pad: int, nb: int, lf: int,
                                 interpret=interpret)
 
 
+@functools.lru_cache(maxsize=64)
+def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
+                               in_dtype: str, interpret: bool):
+    """Fused skew + transpose: compact planar (r, lf, wcp) u8 ->
+    (d_t, r, lf) f32 skewed, with NO intermediate padded buffer.
+
+    The skew's per-row shift (row y moves right by s*y) is a lane-variable
+    reindex that Mosaic cannot gather; instead each output (d, y) block
+    reads the n_in aligned 128-column input windows covering its
+    parallelogram and synthesizes the shift with log2 masked lane-rolls:
+    roll by s*2^j selected on bit j of the sublane index, plus one
+    uniform dynamic roll (the block's alignment offset, applied via its
+    scalar bits). This removes the ~15 ms/batch XLA pad+view copy that
+    dominated the end-to-end wavefront path.
+
+    Out-of-parallelogram positions read clamped (wrong but in-bounds)
+    data; the scan masks them inactive, and valid positions are always
+    inside the fetched window (proof in comments below)."""
+    # Small plane block: the statically-unrolled roll chains keep several
+    # (lfb, n_in*128) i32 temps live per plane (rb=24 blew scoped VMEM).
+    rb = 8 if r % 8 == 0 else r
+    lfb = 128
+    n_in = -(-(255 + 127 * s) // 128)  # ceil: window + worst misalignment
+    wb = wcp // 128
+    assert wb >= n_in, (wcp, n_in)
+    cbits = (n_in * 128 - 1).bit_length()  # c_off < n_in*128 after mod
+
+    def _xb0(g, y):
+        # First input block: floor((g*128 - s*(y*128+127)) / 128), clamped.
+        fl = (g * 128 - s * (y * 128 + 127)) // 128
+        return jnp.clip(fl, 0, wb - n_in)
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        out_ref = refs[n_in]
+        g = pl.program_id(0)
+        y0 = pl.program_id(1)
+        xb0 = _xb0(g, y0)
+        # Desired: res[y, d'] = w[y, (C + d' - s*y) mod N] — a per-row LEFT
+        # rotation by t(y) = (C - s*y) mod N, realized as one chain of
+        # bit-selected rolls on the per-sublane rotation amount. At clamped
+        # edges C leaves [0, N); valid positions' true columns stay in
+        # [0, N) and rolls are circular, so mod-N is exact for them
+        # (invalid positions produce garbage the scan masks).
+        n = n_in * 128
+        c_raw = g * 128 - s * (y0 * 128) - xb0 * 128
+
+        y_sub = jax.lax.broadcasted_iota(jnp.int32, (lfb, n), 0)
+        t_rot = jax.lax.rem(jax.lax.rem(c_raw - s * y_sub, n) + n, n)
+        bits = [(t_rot >> j) & 1 == 1 for j in range(cbits)]
+        for i in range(rb):
+            # Rolls stay in the input dtype (u8: 4x less register traffic).
+            w = jnp.concatenate([ref[i] for ref in in_refs], axis=1)
+            for j in range(cbits):
+                w = jnp.where(bits[j], jnp.roll(w, -(1 << j), axis=1), w)
+            # w[y, d'] = in[y, (g*128 + d') - s*(y0*128 + y)]
+            cols = w[:, :128]
+            if cols.dtype == jnp.uint8:
+                cols = cols.astype(jnp.int32)  # no direct u8->f32 in Mosaic
+            out_ref[:, i, :] = cols.astype(jnp.float32).T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(d_t // 128, lf // lfb, r // rb),
+        in_specs=[
+            pl.BlockSpec((rb, lfb, 128),
+                         (lambda g, y, ri, t=t: (ri, y, _xb0(g, y) + t)),
+                         memory_space=pltpu.VMEM)
+            for t in range(n_in)
+        ],
+        out_specs=pl.BlockSpec((128, rb, lfb), lambda g, y, ri: (g, ri, y),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_t, r, lf), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad", "interpret"))
+def _skew_packed_fused(images: jnp.ndarray, s: int, lf: int, d_pad: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fast path: planarize compact (cheap; no wavefront-width pad), then
+    the fused skew-transpose kernel."""
+    images = jnp.asarray(images)
+    b, h, w, _ = images.shape
+    d_t = _round_up(d_pad, 128)
+    n_in = -(-(255 + 127 * s) // 128)
+    wcp = max(_round_up(w, 128), n_in * 128)
+    x = jnp.pad(images, ((0, 0), (0, lf - h), (0, wcp - w), (0, 0)))
+    x = x.transpose(3, 0, 1, 2).reshape(3 * b, lf, wcp)
+    call = _skew_transpose_fused_call(3 * b, lf, d_t, s, wcp,
+                                      images.dtype.name, interpret)
+    t = call(*([x] * n_in))  # same array, n_in shifted window views
+    return t[:d_pad] if d_t != d_pad else t
+
+
 @functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad", "interpret"))
 def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int,
                  interpret: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) any-dtype -> (D, 3B, lf) f32: rows channel-major
-    (c*B + b). Pad+reshape skew (no gather — see lemma above); the Pallas
-    transpose kernel moves the wavefront axis leading and fuses the f32
-    cast."""
+    (c*B + b).
+
+    Compiled path: the fused skew-transpose kernel (reads the compact
+    planar image; per-lane shift via bit-selected rolls). Interpret path:
+    the pad+reshape stride-lemma formulation (also the reference semantics
+    the fused kernel is tested against)."""
     images = jnp.asarray(images)
+    if not interpret:
+        return _skew_packed_fused(images, s, lf, d_pad, interpret=False)
     b, h, w, _ = images.shape
     d_t = _round_up(d_pad, 128)
     wp = d_t + s

@@ -205,3 +205,70 @@ def test_packed_odd_shapes():
         o = wf._run_packed("fixed", img.copy(), PAL, variant="stucki")
         n = ed_host.ed_fixed(img[0].copy(), PAL, "stucki", False)
         assert np.all(o[0] == n, axis=-1).mean() > 0.9, (h, w)
+
+
+@pytest.mark.parametrize("shape,variant", [
+    ((8, 16, 20), "floyd_steinberg"),   # s=2
+    ((8, 33, 40), "floyd_steinberg"),
+    ((8, 128, 257), "floyd_steinberg"),
+    ((8, 24, 30), "jjn"),               # s=3 (wider window)
+    ((2, 16, 20), "floyd_steinberg"),   # r not a multiple of 8
+])
+def test_fused_skew_matches_lemma(shape, variant):
+    """The fused skew-transpose kernel (compiled path: per-lane shift via
+    bit-selected rolls over aligned input windows) must equal the
+    stride-lemma formulation at every parallelogram-valid position (invalid
+    positions are don't-care — the scan masks them)."""
+    B, H, W = shape
+    rng = np.random.RandomState(B * 1000 + H)
+    imgs = rng.randint(0, 256, (B, H, W, 3), dtype=np.uint8)
+    s, n_slots = wf._scan_params("fixed", variant)
+    chunk = wf._chunk_for(n_slots)
+    lf, _, pp, d_pad = wf._plan(H, W, 8, 1, s, chunk)
+    import jax.numpy as jnp
+
+    a = np.asarray(wf._skew_packed(jnp.asarray(imgs), s, lf, d_pad,
+                                   interpret=True))
+    b = np.asarray(wf._skew_packed_fused(jnp.asarray(imgs), s, lf, d_pad,
+                                         interpret=True))
+    d_idx = np.arange(d_pad)[:, None]
+    y_idx = np.arange(lf)[None, :]
+    col = d_idx - s * y_idx
+    valid = (col >= 0) & (col < W) & (y_idx < H)
+    mask = np.broadcast_to(valid[:, None, :], a.shape)
+    np.testing.assert_array_equal(a[mask], b[mask])
+
+
+def test_fused_skew_v1_matches_lemma():
+    """Same for the v1 layout (batch folded into lanes, used by
+    ostromoukhov / large palettes)."""
+    import jax.numpy as jnp
+
+    B, H, W, s = 3, 16, 20, 2
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (B, H, W, 3)).astype(np.float32)
+    h_frame = wf._round_up(H + 4, wf.LANE)
+    d_pad = wf._round_up(W + s * (H - 1), 8)
+    a = np.asarray(wf._skew(jnp.asarray(imgs), s, h_frame, d_pad,
+                            interpret=True))
+    # Compiled branch in interpret-executed pallas: call the fused impl the
+    # same way the compiled path does.
+    n_in = -(-(255 + 127 * s) // 128)
+    wcp = max(wf._round_up(W, 128), n_in * 128)
+    x = jnp.pad(jnp.asarray(imgs),
+                ((0, 0), (0, h_frame - H), (0, wcp - W), (0, 0)))
+    x = x.transpose(3, 0, 1, 2).reshape(3 * B, h_frame, wcp)
+    d_t = wf._round_up(d_pad, 128)
+    call = wf._skew_transpose_fused_call(3 * B, h_frame, d_t, s, wcp,
+                                         "float32", True)
+    t = call(*([x] * n_in))
+    b = np.asarray((t[:d_pad] if d_t != d_pad else t)
+                   .reshape(d_pad, 3, B * h_frame))
+    d_idx = np.arange(d_pad)[:, None]
+    y_loc = np.arange(B * h_frame)[None, :] % h_frame
+    y_fr = np.arange(B * h_frame)[None, :] // h_frame * 0 + \
+        (np.arange(B * h_frame)[None, :] // h_frame)
+    col = d_idx - s * y_loc
+    valid = (col >= 0) & (col < W) & (y_loc < H) & (y_fr < B)
+    mask = np.broadcast_to(valid[:, None, :], a.shape)
+    np.testing.assert_array_equal(a[mask], b[mask])
