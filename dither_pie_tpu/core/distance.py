@@ -91,8 +91,25 @@ def distance_ratio_factor(
     return jnp.where(tot == 0, jnp.float32(0.0), d1 / tot)
 
 
+def take_palette(palette: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """idx (...,) -> colors (..., 3). On accelerators a large `jnp.take`
+    gather lowers to an element-wise loop (tens of ms at 1080p); a chained
+    per-channel select fuses into one vectorized pass. CPU keeps the gather
+    (selects unrolled P times are slower there)."""
+    if jax.default_backend() == "cpu" or int(palette.shape[0]) > 512:
+        return jnp.take(palette, idx, axis=0)
+    p = int(palette.shape[0])
+    planes = []
+    for c in range(3):
+        oc = jnp.zeros(idx.shape, palette.dtype)
+        for i in range(p):
+            oc = jnp.where(idx == i, palette[i, c], oc)
+        planes.append(oc)
+    return jnp.stack(planes, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def map_to_palette(pixels: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarray:
     """Map each pixel to its nearest palette color. (N, 3) -> (N, 3)."""
     idx = nearest_palette_idx(pixels, palette)
-    return jnp.take(palette, idx, axis=0)
+    return take_palette(palette, idx)

@@ -55,7 +55,9 @@ def ordered_dither(
         thr = thr.astype(jnp.float64)
     use_nearest = factor <= thr
     idx = jnp.where(use_nearest, i1, i2)
-    out = jnp.take(palette, idx, axis=0)
+    from dither_pie_tpu.core.distance import take_palette
+
+    out = take_palette(palette, idx)
     return out.reshape(h, w, 3).astype(jnp.uint8)
 
 
