@@ -42,10 +42,10 @@ class ZoomableImage(tk.Canvas):
         self.bind("<ButtonPress-1>", self._on_press)
         self.bind("<B1-Motion>", self._on_drag)
         self.bind("<MouseWheel>", self._on_wheel)
-        self.bind("<Button-4>", lambda e: self._zoom_at(e.x, e.y, 1.25))
-        self.bind("<Button-5>", lambda e: self._zoom_at(e.x, e.y, 0.8))
-        self.bind("<Shift-Button-4>", lambda e: self._zoom_at(e.x, e.y, 1.05))
-        self.bind("<Shift-Button-5>", lambda e: self._zoom_at(e.x, e.y, 0.95))
+        # X11 delivers wheel events as Button-4/5; route through
+        # _on_wheel_step so subclasses can override wheel behavior once.
+        self.bind("<Button-4>", lambda e: self._on_wheel_step(e, 1))
+        self.bind("<Button-5>", lambda e: self._on_wheel_step(e, -1))
         self.bind("<Configure>", lambda e: self.redraw())
 
     def set_image(self, image: Image.Image, keep_view: bool = False):
@@ -82,9 +82,15 @@ class ZoomableImage(tk.Canvas):
             self.redraw()
 
     def _on_wheel(self, e):
-        factor = 1.25 if e.delta > 0 else 0.8
-        if e.state & 0x0001:  # Shift
-            factor = 1.05 if e.delta > 0 else 0.95
+        self._on_wheel_step(e, 1 if e.delta > 0 else -1)
+
+    def _on_wheel_step(self, e, direction: int):
+        """Single overridable wheel handler (covers <MouseWheel> and the
+        X11 Button-4/5 events). Shift = fine zoom."""
+        if direction > 0:
+            factor = 1.05 if e.state & 0x0001 else 1.25
+        else:
+            factor = 0.95 if e.state & 0x0001 else 0.8
         self._zoom_at(e.x, e.y, factor)
 
     def _zoom_at(self, x, y, factor):
@@ -679,13 +685,13 @@ class GridPreviewCanvas(ZoomableImage):
         self.target_size = target_size
         self.redraw()
 
-    def _on_wheel(self, e):
+    def _on_wheel_step(self, e, direction: int):
         if self.alt_down:
-            factor = 1.05 if getattr(e, "delta", 0) > 0 or e.num == 4 else 0.95
+            factor = 1.05 if direction > 0 else 0.95
             self.grid_scale = min(max(self.grid_scale * factor, 0.1), 10.0)
             self.redraw()
         else:
-            super()._on_wheel(e)
+            super()._on_wheel_step(e, direction)
 
     def _on_drag(self, e):
         if self.alt_down and self._drag_start:
@@ -752,11 +758,36 @@ class PixelizationEditorDialog(tk.Toplevel):
 
         self.bind("<Control-z>", lambda e: self.canvas and self.canvas.undo())
         self.bind("<Control-y>", lambda e: self.canvas and self.canvas.redo())
-        self.bind_all("<KeyPress-Alt_L>", self._on_alt_down)
-        self.bind_all("<KeyPress-Alt_R>", self._on_alt_down)
-        self.bind_all("<KeyRelease-Alt_L>", self._on_alt_up)
-        self.bind_all("<KeyRelease-Alt_R>", self._on_alt_up)
+        self._alt_bind_ids = [
+            (seq, self.bind_all(seq, cb, add="+"))
+            for seq, cb in (("<KeyPress-Alt_L>", self._on_alt_down),
+                            ("<KeyPress-Alt_R>", self._on_alt_down),
+                            ("<KeyRelease-Alt_L>", self._on_alt_up),
+                            ("<KeyRelease-Alt_R>", self._on_alt_up))
+        ]
         self.protocol("WM_DELETE_WINDOW", self._close)
+
+    def _is_active_dialog(self) -> bool:
+        """Alt handlers are bound application-wide (Tk focus quirks); act
+        only while focus is inside this dialog (reference
+        gui_components.py:2043-2048)."""
+        try:
+            widget = self.focus_get()
+        except (KeyError, tk.TclError):
+            return False
+        return widget is not None and widget.winfo_toplevel() is self
+
+    def _unbind_alt(self):
+        # Drop the application-wide Alt bindings this dialog installed (no
+        # other widget in this app binds Alt on the 'all' bindtag) so closed
+        # dialogs are not kept alive by stale handlers.
+        for seq, funcid in self._alt_bind_ids:
+            try:
+                self.unbind_all(seq)
+                self.deletecommand(funcid)
+            except tk.TclError:
+                pass
+        self._alt_bind_ids = []
 
     # -- stages --
 
@@ -768,6 +799,7 @@ class PixelizationEditorDialog(tk.Toplevel):
         self.canvas = None
 
     def _show_preview(self, target_size: int):
+        self._target_size = target_size
         self._clear()
         ttk.Label(self.toolbar, text="Target size:").pack(side="left")
         self.size_var = tk.StringVar(value=str(target_size))
@@ -787,10 +819,12 @@ class PixelizationEditorDialog(tk.Toplevel):
     def _sync_target_size(self):
         try:
             n = int(self.size_var.get())
-            if n > 0 and self.preview:
-                self.preview.set_target_size(n)
+            if n > 0:
+                self._target_size = n
+                if self.preview:
+                    self.preview.set_target_size(n)
         except ValueError:
-            pass
+            pass  # empty/partial entry while typing; keep last good size
 
     def _convert(self):
         if not self.preview:
@@ -815,8 +849,8 @@ class PixelizationEditorDialog(tk.Toplevel):
         ttk.Button(self.toolbar, text="Redo",
                    command=self.canvas.redo).pack(side="left")
         ttk.Button(self.toolbar, text="Back",
-                   command=lambda: self._show_preview(
-                       int(self.size_var.get()))).pack(side="right", padx=4)
+                   command=lambda: self._show_preview(self._target_size)
+                   ).pack(side="right", padx=4)
         ttk.Button(self.toolbar, text="Apply",
                    command=self._apply).pack(side="right")
         self.canvas.pack()
@@ -828,6 +862,8 @@ class PixelizationEditorDialog(tk.Toplevel):
     # -- Alt-hold: temporary picker in edit mode, grid zoom in preview --
 
     def _on_alt_down(self, _e):
+        if not self._is_active_dialog():
+            return
         if self.preview:
             self.preview.alt_down = True
         if self.canvas and not self._alt_pick_active \
@@ -884,12 +920,14 @@ class PixelizationEditorDialog(tk.Toplevel):
 
     def _close(self):
         self._save_geometry()
+        self._unbind_alt()
         self.destroy()
 
     def _apply(self):
         if self.on_apply and self.canvas is not None:
             self.on_apply(Image.fromarray(self.canvas.grid_data))
         self._save_geometry()
+        self._unbind_alt()
         self.destroy()
 
 

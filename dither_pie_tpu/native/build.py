@@ -45,9 +45,26 @@ _CFLAGS = [
 ]
 
 
+def _host_cpu_id() -> bytes:
+    """Host CPU feature identity — part of the build-cache key, since a
+    -march=native .so built on one machine can SIGILL on another (shared
+    venv / NFS / copied container layers)."""
+    try:
+        with open("/proc/cpuinfo", "r", encoding="utf-8") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return line.encode()
+    except OSError:
+        pass
+    import platform
+
+    return (platform.machine() + platform.processor()).encode()
+
+
 def _compile() -> Path:
     key = hashlib.sha256(
-        _SRC.read_bytes() + " ".join(_CFLAGS).encode()).hexdigest()[:16]
+        _SRC.read_bytes() + " ".join(_CFLAGS).encode()
+        + _host_cpu_id()).hexdigest()[:16]
     out = _BUILD_DIR / f"libed_scan_{key}.so"
     if out.exists():
         return out

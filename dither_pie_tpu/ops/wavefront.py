@@ -849,9 +849,15 @@ def _select_palette_colors(idx: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarra
     p = palette.shape[0]
     planes = []
     for c in range(3):
-        oc = jnp.zeros(idx.shape, jnp.float32)
-        for i in range(p):
-            oc = jnp.where(idx == i, palette[i, c], oc)
+        if p > 256:
+            # Unrolling 3*P selects balloons HLO/compile time for huge
+            # palettes; fall back to a per-channel gather (still planar, so
+            # no 42x-padded temp).
+            oc = jnp.take(palette[:, c], idx)
+        else:
+            oc = jnp.zeros(idx.shape, jnp.float32)
+            for i in range(p):
+                oc = jnp.where(idx == i, palette[i, c], oc)
         planes.append(oc.astype(jnp.uint8))
     return jnp.stack(planes, axis=-1)
 

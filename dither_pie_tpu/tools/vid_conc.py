@@ -20,10 +20,13 @@ def sanitize_cmd(src: str, dst: str, fps: float, height: int):
     """Stage-1 sanitize: re-encode to a common fps / even height. NEIGHBOR
     scaling preserves pixel-art sharpness (the reference's explicit goal,
     misc/vid_conc.py:52-66)."""
+    # -ac 2: normalize to stereo so the stage-2 pan downmix (which addresses
+    # channels c0..c3) is valid even for mono sources.
     return [FFMPEG or "ffmpeg", "-y", "-i", src,
             "-vf", f"scale=-2:{height}:flags=neighbor,fps={fps:.5f}",
             "-c:v", "libx264", "-preset", "fast", "-crf", "18",
-            "-pix_fmt", "yuv420p", "-c:a", "aac", "-v", "error", dst]
+            "-pix_fmt", "yuv420p", "-c:a", "aac", "-ac", "2",
+            "-v", "error", dst]
 
 
 def combine_cmd(clean, output: str, vertical: bool, merge_audio: bool):
