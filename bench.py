@@ -126,7 +126,9 @@ def main():
                 return out
             return lambda: f(img1, palette16, screen1)
 
-        per1 = timed_pair(single_many(1), single_many(8), 8)
+        # Long chain: the per-image latency (~0.1-0.3 ms) is far below the
+        # relay's per-dispatch noise, so accumulate 64 executions.
+        per1 = timed_pair(single_many(1), single_many(64), 64)
         details["latency_512_bayer8x8_ms"] = round(per1 * 1000, 4)
         log(f"1: 512^2 bayer latency {per1*1e3:.3f} ms/image")
     except Exception as e:
@@ -384,6 +386,34 @@ def main():
         details["neural_hybrid_note"] = ("random weights (checkpoints not in "
                                          "image); batched device forward")
         log(f"5: neural+hybrid 1080p {n5/wall:.2f} fps wall (batch {n5})")
+
+        # Device-sustained batched forward (the wall number above is
+        # dominated by tunnel transfer + host PIL resizes).
+        from dither_pie_tpu.models.inference import process, resize_image_nearest
+
+        pre = np.concatenate(
+            [process(resize_image_nearest(
+                Image.fromarray(f).convert("RGB"), max_size * 4))
+             for f in src_frames], axis=0)
+        bufs5 = [jnp.asarray(pre + np.float32(0.001 * j)) for j in range(3)]
+        gp = {k: jnp.asarray(v) for k, v in model.gen_params.items()}
+        ap = {k: jnp.asarray(v) for k, v in model.alias_params.items()}
+        from dither_pie_tpu.models.inference import _forward_u8
+
+        def nn_many(k):
+            @jax.jit
+            def f(gp, ap, ref, *xs):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    out = _forward_u8(gp, ap, xs[i] + acc, ref)
+                    acc = out[0, 0, 0, 0].astype(jnp.float32) * jnp.float32(1e-9)
+                return acc
+            return lambda: f(gp, ap, model.ref_t, *bufs5[:k])
+
+        per5 = timed_pair(nn_many(1), nn_many(3), 3)
+        details["neural_forward_device_fps"] = round(n5 / per5, 1)
+        log(f"5b: neural forward device-sustained {n5/per5:.1f} fps "
+            f"(batch {n5} at {pre.shape[1]}x{pre.shape[2]})")
     except Exception as e:
         errors["config5"] = repr(e)
 
