@@ -111,8 +111,13 @@ def main():
 
     # ---- Config 1: single 512x512 Bayer 8x8 -> 16 colors, LATENCY ---------
     try:
+        import itertools
+
         hs, ws = (64, 64) if small else (512, 512)
-        img1 = jnp.asarray(synth_image(hs, ws, 1)[None])
+        # Distinct input per repeat: the dev relay dedupes byte-identical
+        # small dispatches, which zeroes the differential otherwise.
+        imgs1 = [jnp.asarray(synth_image(hs, ws, 1 + i)[None])
+                 for i in range(14)]
         screen1 = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), hs, ws)
 
         def single_many(k):
@@ -124,7 +129,8 @@ def main():
                         jnp.bitwise_xor(out, jnp.uint8(i + 1)), palette,
                         screen, interpret=cpu, bucket=False)
                 return out
-            return lambda: f(img1, palette16, screen1)
+            pool = itertools.cycle(imgs1)
+            return lambda: f(next(pool), palette16, screen1)
 
         # Long chain: the per-image latency (~0.1-0.3 ms) is far below the
         # relay's per-dispatch noise, so accumulate 64 executions.
