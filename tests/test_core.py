@@ -169,3 +169,19 @@ def test_blue_noise_cache():
 def test_hex_roundtrip():
     assert colors.hex_to_rgb("#a1B2c3") == (161, 178, 195)
     assert colors.rgb_to_hex((161, 178, 195)) == "#a1b2c3"
+
+
+def test_take_palette_matches_gather():
+    from dither_pie_tpu.core.distance import take_palette
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    pal = jnp.asarray(rng.randint(0, 256, (16, 3)).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, 16, (37, 53)))
+    np.testing.assert_array_equal(np.asarray(take_palette(pal, idx)),
+                                  np.asarray(jnp.take(pal, idx, axis=0)))
+    # huge palettes use the gather branch
+    big = jnp.asarray(rng.randint(0, 256, (600, 3)).astype(np.float32))
+    idx2 = jnp.asarray(rng.randint(0, 600, (64,)))
+    np.testing.assert_array_equal(np.asarray(take_palette(big, idx2)),
+                                  np.asarray(jnp.take(big, idx2, axis=0)))
