@@ -16,12 +16,14 @@ TPU-native compute:
 
 from __future__ import annotations
 
+import functools
 from enum import Enum
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
 
+import jax
 import jax.numpy as jnp
 
 from dither_pie_tpu.core import colors as _colors
@@ -648,6 +650,49 @@ class RiemersmaDitherStrategy(BaseDitherStrategy):
 # -------------------- Wavelet --------------------
 
 
+def _quant_subband_jnp(sub: "jnp.ndarray", noise: "jnp.ndarray",
+                       q_levels: int) -> "jnp.ndarray":
+    """Randomized uniform subband quantization (reference semantics:
+    /root/reference/dithering_lib.py:899-918), f32 on device."""
+    mn = jnp.min(sub)
+    mx = jnp.max(sub)
+    scale = mx - mn
+    norm = (sub - mn) / (scale + 1e-9)
+    q = jnp.floor(norm * q_levels + noise)
+    q = jnp.clip(q, 0, q_levels - 1)
+    qn = q / (q_levels - 1 + 1e-9)
+    out = qn * scale + mn
+    return jnp.where(scale == 0, sub, out)
+
+
+@functools.lru_cache(maxsize=16)
+def _wavelet_batch_fn(wavelet: str, q_levels: int):
+    """Jitted batched wavelet dither: the noise tensors are frame-invariant
+    (the reference re-seeds RandomState(seed) per image), so one draw is
+    shared and the whole DWT -> quantize -> IDWT -> randomized top-2 pick
+    vmaps over the frame batch on device."""
+
+    @jax.jit
+    def f(imgs, pal, noises, thr):
+        h, w = imgs.shape[1], imgs.shape[2]
+
+        def one(img):
+            chans = []
+            for ch in range(3):
+                cA, (cH, cV, cD) = _wavelet.dwt2_jnp(img[:, :, ch], wavelet)
+                subs = [_quant_subband_jnp(s, noises[ch, k], q_levels)
+                        for k, s in enumerate((cA, cH, cV, cD))]
+                rec = _wavelet.idwt2_jnp(subs[0], (subs[1], subs[2], subs[3]),
+                                         wavelet)
+                chans.append(jnp.clip(rec[:h, :w], 0, 255))
+            result = jnp.stack(chans, axis=-1)
+            return _ordered.ordered_dither(result, pal, thr)
+
+        return jax.vmap(one)(imgs.astype(jnp.float32))
+
+    return f
+
+
 class WaveletDitherStrategy(BaseDitherStrategy):
     """DWT -> randomized subband quantization -> IDWT -> randomized top-2 pick.
 
@@ -694,16 +739,39 @@ class WaveletDitherStrategy(BaseDitherStrategy):
         return {"wavelet": self.wavelet, "subband_quant": self.subband_quant, "seed": self.seed}
 
     def _quant_subband(self, sub: jnp.ndarray, noise: np.ndarray) -> jnp.ndarray:
-        q_levels = self.subband_quant
-        mn = jnp.min(sub)
-        mx = jnp.max(sub)
-        scale = mx - mn
-        norm = (sub - mn) / (scale + 1e-9)
-        q = jnp.floor(norm * q_levels + jnp.asarray(noise, dtype=sub.dtype))
-        q = jnp.clip(q, 0, q_levels - 1)
-        qn = q / (q_levels - 1 + 1e-9)
-        out = qn * scale + mn
-        return jnp.where(scale == 0, sub, out)
+        return _quant_subband_jnp(sub, jnp.asarray(noise, dtype=sub.dtype),
+                                  self.subband_quant)
+
+    def _draw_noise(self, h: int, w: int):
+        """Host RNG in the exact order the reference draws it (per channel:
+        cA, cH, cV, cD; then the final per-pixel thresholds). The draws
+        depend only on (seed, h, w) — identical for every video frame."""
+        from dither_pie_tpu.ops.wavelet import filter_bank
+
+        L = len(filter_bank(self.wavelet)[0])
+        hs, ws = (h + L - 1) // 2, (w + L - 1) // 2
+        rng = np.random.RandomState(self.seed)
+        noises = np.empty((3, 4, hs, ws), np.float32)
+        for ch in range(3):
+            for k in range(4):
+                noises[ch, k] = rng.rand(hs, ws).astype(np.float32)
+        thr = rng.rand(h * w).astype(np.float32).reshape(h, w)
+        return noises, thr
+
+    def dither_batch(self, images, palette_arr):
+        """Batched device path for video: ONE jitted program (vmapped
+        DWT -> quantize -> IDWT -> randomized pick) per frame batch. The
+        per-frame outputs are identical to ``dither`` because the
+        reference re-seeds its RandomState per image, making the noise
+        frame-invariant."""
+        _runtime.jax_platform()
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        noises, thr = self._draw_noise(h, w)
+        fn = _wavelet_batch_fn(self.wavelet, self.subband_quant)
+        out = fn(jnp.asarray(images), jnp.asarray(pal),
+                 jnp.asarray(noises), jnp.asarray(thr))
+        return np.asarray(out).astype(images.dtype)
 
     def dither(self, pixels, palette_arr, image_size):
         h, w = image_size

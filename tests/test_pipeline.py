@@ -200,6 +200,21 @@ class TestVideoFrames:
         outs = list(process_frames(self._frames(5), d, batch_size=2))
         assert len(outs) == 5
 
+    def test_wavelet_batch_matches_single(self):
+        """The batched device wavelet path (one vmapped program per batch)
+        must reproduce the per-frame path exactly: the reference re-seeds
+        per image, so the noise tensors are frame-invariant."""
+        pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40), (30, 90, 200)]
+        frames = list(self._frames(3))
+        d = dpt.ImageDitherer(
+            num_colors=4, dither_mode=dpt.DitherMode.WAVELET,
+            palette=list(pal),
+            dither_params={"wavelet": "db2", "subband_quant": 6, "seed": 7})
+        batch = d.apply_dithering_batch(np.stack(frames))
+        for i, f in enumerate(frames):
+            single = d.apply_dithering_array(f)
+            np.testing.assert_array_equal(batch[i], single)
+
     def test_gamma_batch_matches_single(self):
         pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40)]
         frames = list(self._frames(4))
