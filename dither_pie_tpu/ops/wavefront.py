@@ -560,7 +560,8 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
             dims = jnp.array([w, h], jnp.int32)
             aux = jnp.zeros((1, 8), jnp.float32)
             idx_skew = call(dims, sk, pal_packed, aux)
-            idx = _unskew_idx_packed(idx_skew, s, lf, h, w)  # (nb, H, W)
+            idx = _unskew_idx_packed(idx_skew, s, lf, h, w,
+                                     interpret=bool(interpret))  # (nb, H, W)
             out = _select_palette_colors(idx[:batch],
                                          palette.astype(jnp.float32))
             return out
@@ -862,12 +863,94 @@ def _select_palette_colors(idx: jnp.ndarray, palette: jnp.ndarray) -> jnp.ndarra
     return jnp.stack(planes, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "lf", "h", "w"))
+@functools.lru_cache(maxsize=64)
+def _unskew_transpose_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
+                           interpret: bool):
+    """(d_t, nb, lf) i32 skewed indices -> (nb, lf, wxp) i32 unskewed:
+    ``out[b, y, x] = idx[x + s*y, b, y]`` — the exact inverse of the fused
+    skew kernel, by the same construction run in reverse.
+
+    Why a kernel: XLA lowers the transpose + pad-reshape formulation at
+    ~8 G elem/s (element-bound loops), ~10 ms per 1080p x16 batch — the
+    single largest cost in the wavefront path. Here each output (b, y, x)
+    block fetches the n_in aligned 128-step d-windows covering its
+    parallelogram, transposes each (d, y) plane in VMEM, and synthesizes
+    the per-row shift with one chain of bit-selected lane-rolls keyed on
+    the per-sublane rotation (c0 + s*y) mod n — the mirror image of
+    _skew_transpose_fused_call's (C - s*y) mod n.
+
+    Out-of-parallelogram positions (y >= h rows, x >= w lanes) read
+    clamped-window garbage; the caller slices them away. Valid positions
+    provably stay inside the fetched window: q = x_lane + c0 + s*y_sub
+    with c0 = (gx + s*gy - t0_clamped)*128, and for every valid pixel
+    q <= (d_valid_max - t0_clamped*128) < n_in*128 (checked for s in
+    {2, 3} at any clamping)."""
+    nbb = 8
+    n_in = -(-(128 + 127 * s) // 128)  # window 128 + s*127 lanes, aligned
+    db = d_t // 128
+    if db < n_in:
+        raise ValueError(f"d_t={d_t} too small for unskew windows ({n_in})")
+    n = n_in * 128
+    cbits = (n - 1).bit_length()
+
+    def _t0(gy, gx):
+        # Window start block: d_min = 128*(gx + s*gy), exactly aligned.
+        return jnp.clip(gx + s * gy, 0, db - n_in)
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        out_ref = refs[n_in]
+        gy = pl.program_id(1)
+        gx = pl.program_id(2)
+        c0 = (gx + s * gy - _t0(gy, gx)) * 128
+        y_sub = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+        t_rot = jax.lax.rem(c0 + s * y_sub, n)  # both terms >= 0
+        bits = [(t_rot >> j) & 1 == 1 for j in range(cbits)]
+        for i in range(nbb):
+            # (128 d, 128 y) plane for frame i -> (128 y, n d-lanes).
+            w = jnp.concatenate([r[:, i, :].T for r in in_refs], axis=1)
+            for j in range(cbits):
+                w = jnp.where(bits[j], jnp.roll(w, -(1 << j), axis=1), w)
+            # w[y, x] = idx[x + s*(128*gy + y), b, y] for valid positions.
+            out_ref[i] = w[:, :128]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb // nbb, lf // 128, wxp // 128),
+        in_specs=[
+            pl.BlockSpec((128, nbb, 128),
+                         (lambda gb, gy, gx, t=t: (_t0(gy, gx) + t, gb, gy)),
+                         memory_space=pltpu.VMEM)
+            for t in range(n_in)
+        ],
+        out_specs=pl.BlockSpec((nbb, 128, 128), lambda gb, gy, gx: (gb, gy, gx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, lf, wxp), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("s", "lf", "h", "w", "interpret"))
 def _unskew_idx_packed(idx_skew: jnp.ndarray, s: int, lf: int, h: int,
-                       w: int) -> jnp.ndarray:
-    """(d_pad, B, lf) int32 -> (B, H, W). Inverse pad+reshape view."""
+                       w: int, interpret: bool = True) -> jnp.ndarray:
+    """(d_pad, B, lf) int32 -> (B, H, W).
+
+    Compiled path: the Pallas unskew kernel (in-VMEM (d, y) transposes +
+    bit-selected lane-rolls). Interpret/odd-shape path: the stride-lemma
+    pad+reshape formulation (also the reference semantics the kernel is
+    tested against)."""
     d_pad = idx_skew.shape[0]
     b = idx_skew.shape[1]
+    wxp = _round_up(w, 128)
+    n_in = -(-(128 + 127 * s) // 128)
+    if (not interpret and d_pad % 128 == 0 and lf % 128 == 0
+            and b % 8 == 0 and d_pad // 128 >= n_in and wxp <= d_pad):
+        call = _unskew_transpose_call(b, lf, d_pad, s, wxp, False)
+        out = call(*([idx_skew] * (-(-(128 + 127 * s) // 128))))
+        return out[:, :h, :w]
     flat = idx_skew.transpose(1, 2, 0).reshape(b, lf * d_pad)
     flat = jnp.pad(flat, ((0, 0), (0, lf * s)))
     return flat.reshape(b, lf, d_pad + s)[:, :h, :w]
@@ -910,6 +993,7 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
         aux_skew = jnp.zeros((1, 8), jnp.float32)
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     idx_skew = call(dims, img_skew, pal_dev, aux_skew)
-    idx = _unskew_idx_packed(idx_skew, s, lf, h, w)
+    idx = _unskew_idx_packed(idx_skew, s, lf, h, w,
+                             interpret=bool(interpret))
     out = _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
     return np.asarray(out)

@@ -108,7 +108,7 @@ def make_sharded_ed_step(mesh: Mesh, h: int, w: int, p: int,
         in_specs=(P("data", None, None, None), P()),
         out_specs=(P("data", None, None, None), P()),
         # pallas_call out_shapes carry no varying-mesh-axis metadata.
-        check_rep=False,
+        check_vma=False,
     ))
 
     def run(frames_u8: np.ndarray, palette: np.ndarray):

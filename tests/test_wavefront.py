@@ -272,3 +272,33 @@ def test_fused_skew_v1_matches_lemma():
     valid = (col >= 0) & (col < W) & (y_loc < H) & (y_fr < B)
     mask = np.broadcast_to(valid[:, None, :], a.shape)
     np.testing.assert_array_equal(a[mask], b[mask])
+
+
+@pytest.mark.parametrize("s,b,h,w", [
+    (2, 8, 120, 200),    # FS-family skew, no window clamping
+    (3, 8, 100, 150),    # dx=-2 kernels' skew
+    (2, 16, 380, 140),   # exercises window CLAMPING (gx + s*gy > db - n_in)
+    (3, 8, 300, 130),    # s=3 with clamping
+])
+def test_unskew_kernel_matches_lemma(s, b, h, w):
+    """The Pallas unskew kernel (in-VMEM (d,y) transposes + bit-selected
+    lane-rolls) must agree with the stride-lemma pad+reshape formulation on
+    every valid pixel, including blocks whose d-windows clamp at the edge."""
+    import jax.numpy as jnp
+
+    lf = wf._round_up(h + 4, 128)
+    d_pad = wf._round_up(wf._round_up(w + s * (h - 1), 256), 8)
+    wxp = wf._round_up(w, 128)
+    assert d_pad % 128 == 0 and wxp <= d_pad
+    rng = np.random.RandomState(s * 100 + b)
+    idx = jnp.asarray(rng.randint(0, 64, (d_pad, b, lf)).astype(np.int32))
+
+    # Reference: stride-lemma formulation (interpret path).
+    flat = np.asarray(idx).transpose(1, 2, 0).reshape(b, lf * d_pad)
+    flat = np.pad(flat, ((0, 0), (0, lf * s)))
+    ref = flat.reshape(b, lf, d_pad + s)[:, :h, :w]
+
+    n_in = -(-(128 + 127 * s) // 128)
+    out = np.asarray(
+        wf._unskew_transpose_call(b, lf, d_pad, s, wxp, True)(*([idx] * n_in)))
+    np.testing.assert_array_equal(out[:, :h, :w], ref)
