@@ -160,7 +160,8 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
             active_f = ((col >= 0) & (col < w_real)
                         & (y_local < h_real)).astype(jnp.float32)
 
-            cur = img_ref[j] + err_buf[slot]  # (3, hp)
+            # bf16 image streams cast back to f32 exactly (integer values).
+            cur = img_ref[j].astype(jnp.float32) + err_buf[slot]  # (3, hp)
             if clamp_before:
                 cur = jnp.clip(cur, 0.0, 255.0)
 
@@ -314,12 +315,17 @@ def _pick_rb(r: int) -> int:
 
 @functools.lru_cache(maxsize=64)
 def _skew_transpose_call(r: int, lf: int, d_t: int, in_dtype: str,
-                         interpret: bool):
-    """(r, lf, d_t) in_dtype -> (d_t, r, lf) f32: per-plane 2D transposes
-    fused with the f32 cast; grid blocked over d, lf, and planes."""
+                         interpret: bool, out_dtype: str = "float32"):
+    """(r, lf, d_t) in_dtype -> (d_t, r, lf) f32/bf16: per-plane 2D
+    transposes fused with the float cast; grid blocked over d, lf, planes.
+
+    bf16 output is exact for integer pixel values (8-bit significand covers
+    0..255) and halves the skewed tensor's HBM traffic — the scan kernel
+    casts back to f32 on read, so the arithmetic is unchanged."""
     rb = _pick_rb(r)
     lfb = 384 if (lf % 384 == 0 and rb * 384 * 128 * 4 * 2 <= 5_000_000) \
         else 128
+    out_jnp = jnp.dtype(out_dtype)
 
     def kernel(in_ref, out_ref):
         for i in range(rb):
@@ -327,7 +333,10 @@ def _skew_transpose_call(r: int, lf: int, d_t: int, in_dtype: str,
             if x.dtype == jnp.uint8:
                 # Mosaic has no direct u8->f32 convert; hop through int32.
                 x = x.astype(jnp.int32)
-            out_ref[:, i, :] = x.astype(jnp.float32).T
+            x = x.astype(jnp.float32)
+            if out_jnp != jnp.float32:
+                x = x.astype(out_jnp)
+            out_ref[:, i, :] = x.T
 
     return pl.pallas_call(
         kernel,
@@ -336,7 +345,7 @@ def _skew_transpose_call(r: int, lf: int, d_t: int, in_dtype: str,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((128, rb, lfb), lambda g, y, ri: (g, ri, y),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d_t, r, lf), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d_t, r, lf), out_jnp),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
@@ -345,10 +354,11 @@ def _skew_transpose_call(r: int, lf: int, d_t: int, in_dtype: str,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("s", "h_frame", "d_pad", "interpret"))
+                   static_argnames=("s", "h_frame", "d_pad", "interpret",
+                                    "out_dtype"))
 def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
-          interpret: bool = False) -> jnp.ndarray:
-    """(B, H, W, C) any-dtype -> (d_pad, C, B*h_frame) f32 skewed (v1
+          interpret: bool = False, out_dtype: str = "float32") -> jnp.ndarray:
+    """(B, H, W, C) any-dtype -> (d_pad, C, B*h_frame) f32/bf16 skewed (v1
     layout: batch folded into lanes, wavefront axis leading). Compiled
     path: fused skew-transpose kernel; interpret path: stride-lemma
     reference formulation."""
@@ -361,7 +371,7 @@ def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
         x = jnp.pad(images, ((0, 0), (0, h_frame - h), (0, wcp - w), (0, 0)))
         x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame, wcp)
         call = _skew_transpose_fused_call(c * b, h_frame, d_t, s, wcp,
-                                          images.dtype.name, False)
+                                          images.dtype.name, False, out_dtype)
         t = call(*([x] * n_in))
         if d_t != d_pad:
             t = t[:d_pad]
@@ -371,7 +381,7 @@ def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
     x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame * wp)
     x = x[:, : h_frame * d_t].reshape(c * b, h_frame, d_t)
     t = _skew_transpose_call(c * b, h_frame, d_t, images.dtype.name,
-                             interpret)(x)
+                             interpret, out_dtype)(x)
     if d_t != d_pad:
         t = t[:d_pad]
     return t.reshape(d_pad, c, b * h_frame)
@@ -459,7 +469,8 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
         mode, variant, h, w, p, b, float(lum_factor), float(col_factor), interpret)
 
     img_skew = _skew(jnp.asarray(images), s, h_frame, d_pad,
-                     interpret=bool(interpret))
+                     interpret=bool(interpret),
+                     out_dtype="float32" if interpret else "bfloat16")
     pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
 
     if mode in ("perceptual", "adaptive"):
@@ -556,15 +567,14 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                  jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
             pal_packed = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
             sk = _skew_packed(frames, s, lf, d_pad,
-                              interpret=bool(interpret))
+                              interpret=bool(interpret),
+                              out_dtype="float32" if interpret else "bfloat16")
             dims = jnp.array([w, h], jnp.int32)
             aux = jnp.zeros((1, 8), jnp.float32)
             idx_skew = call(dims, sk, pal_packed, aux)
-            idx = _unskew_idx_packed(idx_skew, s, lf, h, w,
-                                     interpret=bool(interpret))  # (nb, H, W)
-            out = _select_palette_colors(idx[:batch],
-                                         palette.astype(jnp.float32))
-            return out
+            out = _unskew_select_colors(idx_skew, palette.astype(jnp.float32),
+                                        s, lf, h, w, bool(interpret))
+            return out[:batch]
 
         return fn
 
@@ -578,7 +588,8 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
         cols = jnp.concatenate(
             [palette.astype(jnp.float32),
              jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
-        sk = _skew(frames, s, h_frame, d_pad, interpret=bool(interpret))
+        sk = _skew(frames, s, h_frame, d_pad, interpret=bool(interpret),
+                   out_dtype="float32" if interpret else "bfloat16")
         dims = jnp.array([w, h], jnp.int32)
         if mode == "ostromoukhov":
             aux = jnp.asarray(_ostro_weight_table())
@@ -633,7 +644,8 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             active = ((col >= 0) & (col < w_real) & (y_lane < h_real))
             active_f = active.astype(jnp.float32)  # (1, lf), same for all rows
 
-            cur = img_ref[j] + err_buf[slot]  # (R, lf)
+            # bf16 image streams cast back to f32 exactly (integer values).
+            cur = img_ref[j].astype(jnp.float32) + err_buf[slot]  # (R, lf)
             if clamp_before:
                 cur = jnp.clip(cur, 0.0, 255.0)
 
@@ -716,7 +728,8 @@ def _compiled_packed(mode: str, variant: str, d_pad: int, nb: int, lf: int,
 
 @functools.lru_cache(maxsize=64)
 def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
-                               in_dtype: str, interpret: bool):
+                               in_dtype: str, interpret: bool,
+                               out_dtype: str = "float32"):
     """Fused skew + transpose: compact planar (r, lf, wcp) u8 ->
     (d_t, r, lf) f32 skewed, with NO intermediate padded buffer.
 
@@ -734,7 +747,13 @@ def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
     inside the fetched window (proof in comments below)."""
     # Small plane block: the statically-unrolled roll chains keep several
     # (lfb, n_in*128) i32 temps live per plane (rb=24 blew scoped VMEM).
-    rb = 8 if r % 8 == 0 else r
+    out_jnp = jnp.dtype(out_dtype)
+    # bf16 native tiles are (16, 128): an 8-sublane out block would store
+    # half-tiles; use rb=16 when the plane count allows.
+    if out_jnp == jnp.bfloat16 and r % 16 == 0:
+        rb = 16
+    else:
+        rb = 8 if r % 8 == 0 else r
     lfb = 128
     n_in = -(-(255 + 127 * s) // 128)  # ceil: window + worst misalignment
     wb = wcp // 128
@@ -773,7 +792,10 @@ def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
             cols = w[:, :128]
             if cols.dtype == jnp.uint8:
                 cols = cols.astype(jnp.int32)  # no direct u8->f32 in Mosaic
-            out_ref[:, i, :] = cols.astype(jnp.float32).T
+            cols = cols.astype(jnp.float32)
+            if out_jnp != jnp.float32:
+                cols = cols.astype(out_jnp)
+            out_ref[:, i, :] = cols.T
 
     return pl.pallas_call(
         kernel,
@@ -786,7 +808,7 @@ def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
         ],
         out_specs=pl.BlockSpec((128, rb, lfb), lambda g, y, ri: (g, ri, y),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((d_t, r, lf), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((d_t, r, lf), out_jnp),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
@@ -794,9 +816,11 @@ def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("s", "lf", "d_pad", "interpret", "out_dtype"))
 def _skew_packed_fused(images: jnp.ndarray, s: int, lf: int, d_pad: int,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       out_dtype: str = "float32") -> jnp.ndarray:
     """Fast path: planarize compact (cheap; no wavefront-width pad), then
     the fused skew-transpose kernel."""
     images = jnp.asarray(images)
@@ -807,31 +831,36 @@ def _skew_packed_fused(images: jnp.ndarray, s: int, lf: int, d_pad: int,
     x = jnp.pad(images, ((0, 0), (0, lf - h), (0, wcp - w), (0, 0)))
     x = x.transpose(3, 0, 1, 2).reshape(3 * b, lf, wcp)
     call = _skew_transpose_fused_call(3 * b, lf, d_t, s, wcp,
-                                      images.dtype.name, interpret)
+                                      images.dtype.name, interpret, out_dtype)
     t = call(*([x] * n_in))  # same array, n_in shifted window views
     return t[:d_pad] if d_t != d_pad else t
 
 
-@functools.partial(jax.jit, static_argnames=("s", "lf", "d_pad", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("s", "lf", "d_pad", "interpret", "out_dtype"))
 def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int,
-                 interpret: bool = False) -> jnp.ndarray:
-    """(B, H, W, 3) any-dtype -> (D, 3B, lf) f32: rows channel-major
+                 interpret: bool = False,
+                 out_dtype: str = "float32") -> jnp.ndarray:
+    """(B, H, W, 3) any-dtype -> (D, 3B, lf) f32/bf16: rows channel-major
     (c*B + b).
 
     Compiled path: the fused skew-transpose kernel (reads the compact
     planar image; per-lane shift via bit-selected rolls). Interpret path:
     the pad+reshape stride-lemma formulation (also the reference semantics
-    the fused kernel is tested against)."""
+    the fused kernel is tested against). bf16 output is exact for integer
+    pixel values and halves HBM traffic (the scan casts back to f32)."""
     images = jnp.asarray(images)
     if not interpret:
-        return _skew_packed_fused(images, s, lf, d_pad, interpret=False)
+        return _skew_packed_fused(images, s, lf, d_pad, interpret=False,
+                                  out_dtype=out_dtype)
     b, h, w, _ = images.shape
     d_t = _round_up(d_pad, 128)
     wp = d_t + s
     x = jnp.pad(images, ((0, 0), (0, lf - h), (0, wp - w), (0, 0)))
     x = x.transpose(3, 0, 1, 2).reshape(3 * b, lf * wp)
     x = x[:, : lf * d_t].reshape(3 * b, lf, d_t)
-    t = _skew_transpose_call(3 * b, lf, d_t, images.dtype.name, interpret)(x)
+    t = _skew_transpose_call(3 * b, lf, d_t, images.dtype.name, interpret,
+                             out_dtype)(x)
     return t[:d_pad] if d_t != d_pad else t
 
 
@@ -933,6 +962,91 @@ def _unskew_transpose_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _unskew_select_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
+                        p: int, interpret: bool):
+    """Fused unskew + palette select: (d_t, nb, lf) i32 skewed indices +
+    (P, 3) i32 palette (SMEM scalars) -> (3, nb, lf, wxp) u8 color planes.
+
+    Same window/transpose/roll construction as _unskew_transpose_call, with
+    the chained-select palette take fused in-register — the separate XLA
+    select pass costs ~3.8 ms per 1080p x16 batch (element-bound), here it
+    rides the same VMEM residency as the unskew."""
+    nbb = 8
+    n_in = -(-(128 + 127 * s) // 128)
+    db = d_t // 128
+    if db < n_in:
+        raise ValueError(f"d_t={d_t} too small for unskew windows ({n_in})")
+    n = n_in * 128
+    cbits = (n - 1).bit_length()
+
+    def _t0(gy, gx):
+        return jnp.clip(gx + s * gy, 0, db - n_in)
+
+    def kernel(*refs):
+        pal_ref = refs[0]  # (P, 3) i32 in SMEM
+        in_refs = refs[1:1 + n_in]
+        out_ref = refs[1 + n_in]
+        gy = pl.program_id(1)
+        gx = pl.program_id(2)
+        c0 = (gx + s * gy - _t0(gy, gx)) * 128
+        y_sub = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+        t_rot = jax.lax.rem(c0 + s * y_sub, n)
+        bits = [(t_rot >> j) & 1 == 1 for j in range(cbits)]
+        for i in range(nbb):
+            w = jnp.concatenate([r[:, i, :].T for r in in_refs], axis=1)
+            for j in range(cbits):
+                w = jnp.where(bits[j], jnp.roll(w, -(1 << j), axis=1), w)
+            idx = w[:, :128]  # (128 y, 128 x) palette indices
+            for c in range(3):
+                oc = jnp.zeros((128, 128), jnp.int32)
+                for q in range(p):
+                    oc = jnp.where(idx == q, pal_ref[q, c], oc)
+                out_ref[c, i] = oc.astype(jnp.uint8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb // nbb, lf // 128, wxp // 128),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+            pl.BlockSpec((128, nbb, 128),
+                         (lambda gb, gy, gx, t=t: (_t0(gy, gx) + t, gb, gy)),
+                         memory_space=pltpu.VMEM)
+            for t in range(n_in)
+        ],
+        out_specs=pl.BlockSpec((3, nbb, 128, 128),
+                               lambda gb, gy, gx: (0, gb, gy, gx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, nb, lf, wxp), jnp.uint8),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )
+
+
+def _unskew_select_colors(idx_skew: jnp.ndarray, palette: jnp.ndarray,
+                          s: int, lf: int, h: int, w: int,
+                          interpret: bool) -> jnp.ndarray:
+    """(d_pad, B, lf) i32 + (P, 3) f32 integer-valued palette ->
+    (B, H, W, 3) u8 colors. Fused kernel when shapes qualify; otherwise the
+    stride-lemma unskew + chained-select XLA path."""
+    d_pad = idx_skew.shape[0]
+    b = idx_skew.shape[1]
+    p = palette.shape[0]
+    wxp = _round_up(w, 128)
+    n_in = -(-(128 + 127 * s) // 128)
+    if (not interpret and p <= 64 and d_pad % 128 == 0 and lf % 128 == 0
+            and b % 8 == 0 and d_pad // 128 >= n_in and wxp <= d_pad):
+        call = _unskew_select_call(b, lf, d_pad, s, wxp, p, False)
+        # Palette colors are integers 0..255: the i32 round trip is exact.
+        pal_i32 = jnp.asarray(palette, jnp.float32).astype(jnp.int32)
+        planes = call(pal_i32, *([idx_skew] * n_in))  # (3, B, lf, wxp)
+        return jnp.stack([planes[0], planes[1], planes[2]],
+                         axis=-1)[:, :h, :w]
+    idx = _unskew_idx_packed(idx_skew, s, lf, h, w, interpret=interpret)
+    return _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("s", "lf", "h", "w", "interpret"))
 def _unskew_idx_packed(idx_skew: jnp.ndarray, s: int, lf: int, h: int,
                        w: int, interpret: bool = True) -> jnp.ndarray:
@@ -982,7 +1096,8 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                             bool(interpret))
 
     img_skew = _skew_packed(jnp.asarray(images), s, lf, d_pad,
-                             interpret=bool(interpret))
+                             interpret=bool(interpret),
+                             out_dtype="float32" if interpret else "bfloat16")
     pal_dev = jnp.asarray(_pad_palette_packed(palette.astype(np.float32), pp, b))
     if mode in ("perceptual", "adaptive"):
         # (B, H, W) aux -> (d_pad, B, lf) skewed
@@ -993,7 +1108,6 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
         aux_skew = jnp.zeros((1, 8), jnp.float32)
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     idx_skew = call(dims, img_skew, pal_dev, aux_skew)
-    idx = _unskew_idx_packed(idx_skew, s, lf, h, w,
-                             interpret=bool(interpret))
-    out = _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
+    out = _unskew_select_colors(idx_skew, jnp.asarray(palette, jnp.float32),
+                                s, lf, h, w, bool(interpret))
     return np.asarray(out)

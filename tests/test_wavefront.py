@@ -302,3 +302,29 @@ def test_unskew_kernel_matches_lemma(s, b, h, w):
     out = np.asarray(
         wf._unskew_transpose_call(b, lf, d_pad, s, wxp, True)(*([idx] * n_in)))
     np.testing.assert_array_equal(out[:, :h, :w], ref)
+
+
+@pytest.mark.parametrize("s,b,h,w,p", [
+    (2, 8, 120, 200, 4),
+    (3, 16, 380, 140, 32),   # clamping + larger palette
+])
+def test_unskew_select_kernel_matches_two_step(s, b, h, w, p):
+    """Fused unskew+select kernel == stride-lemma unskew + XLA select."""
+    import jax.numpy as jnp
+
+    lf = wf._round_up(h + 4, 128)
+    d_pad = wf._round_up(wf._round_up(w + s * (h - 1), 256), 8)
+    wxp = wf._round_up(w, 128)
+    rng = np.random.RandomState(s + b + p)
+    idx = jnp.asarray(rng.randint(0, p, (d_pad, b, lf)).astype(np.int32))
+    pal = jnp.asarray(rng.randint(0, 256, (p, 3)).astype(np.float32))
+
+    ref_idx = wf._unskew_idx_packed(idx, s, lf, h, w, interpret=True)
+    ref = np.asarray(wf._select_palette_colors(ref_idx, pal))
+
+    n_in = -(-(128 + 127 * s) // 128)
+    call = wf._unskew_select_call(b, lf, d_pad, s, wxp, p, True)
+    planes = call(pal.astype(jnp.int32), *([idx] * n_in))
+    out = np.asarray(jnp.stack([planes[0], planes[1], planes[2]],
+                               axis=-1)[:, :h, :w])
+    np.testing.assert_array_equal(out, ref)
