@@ -782,11 +782,14 @@ def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
 
         y_sub = jax.lax.broadcasted_iota(jnp.int32, (lfb, n), 0)
         t_rot = jax.lax.rem(jax.lax.rem(c_raw - s * y_sub, n) + n, n)
+        # Even skew: c_raw is a multiple of 128 and s*y is even, so t_rot is
+        # provably even — bit 0 never fires; skip that roll round statically.
+        j0 = 1 if s % 2 == 0 else 0
         bits = [(t_rot >> j) & 1 == 1 for j in range(cbits)]
         for i in range(rb):
             # Rolls stay in the input dtype (u8: 4x less register traffic).
             w = jnp.concatenate([ref[i] for ref in in_refs], axis=1)
-            for j in range(cbits):
+            for j in range(j0, cbits):
                 w = jnp.where(bits[j], jnp.roll(w, -(1 << j), axis=1), w)
             # w[y, d'] = in[y, (g*128 + d') - s*(y0*128 + y)]
             cols = w[:, :128]
@@ -934,11 +937,14 @@ def _unskew_transpose_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
         c0 = (gx + s * gy - _t0(gy, gx)) * 128
         y_sub = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
         t_rot = jax.lax.rem(c0 + s * y_sub, n)  # both terms >= 0
+        # Even skew: c0 is a multiple of 128, s*y even -> t_rot even; bit 0
+        # never fires, skip that roll round statically.
+        j0 = 1 if s % 2 == 0 else 0
         bits = [(t_rot >> j) & 1 == 1 for j in range(cbits)]
         for i in range(nbb):
             # (128 d, 128 y) plane for frame i -> (128 y, n d-lanes).
             w = jnp.concatenate([r[:, i, :].T for r in in_refs], axis=1)
-            for j in range(cbits):
+            for j in range(j0, cbits):
                 w = jnp.where(bits[j], jnp.roll(w, -(1 << j), axis=1), w)
             # w[y, x] = idx[x + s*(128*gy + y), b, y] for valid positions.
             out_ref[i] = w[:, :128]
@@ -992,10 +998,11 @@ def _unskew_select_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
         c0 = (gx + s * gy - _t0(gy, gx)) * 128
         y_sub = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
         t_rot = jax.lax.rem(c0 + s * y_sub, n)
+        j0 = 1 if s % 2 == 0 else 0  # even skew: t_rot provably even
         bits = [(t_rot >> j) & 1 == 1 for j in range(cbits)]
         for i in range(nbb):
             w = jnp.concatenate([r[:, i, :].T for r in in_refs], axis=1)
-            for j in range(cbits):
+            for j in range(j0, cbits):
                 w = jnp.where(bits[j], jnp.roll(w, -(1 << j), axis=1), w)
             idx = w[:, :128]  # (128 y, 128 x) palette indices
             for c in range(3):
