@@ -130,12 +130,23 @@ def rgb_decoder(p: Params, key: str, x: jnp.ndarray,
     return conv_block(p, f"{key}.conv_3", x, 1, 3, "none", "tanh", "reflect")
 
 
+def style_adain(p: Params, reference: jnp.ndarray, s: float = 1.0) -> jnp.ndarray:
+    """(1, H, W, 3) reference image -> (1, 2048) adain code. Constant for a
+    fixed reference.png, so callers cache it across forwards
+    (inference.PixelizationModel)."""
+    return style_mlp(p, pixel_block_encoder(p, reference)) * s
+
+
 def c2pgen_forward(p: Params, clipart: jnp.ndarray,
-                   reference: jnp.ndarray, s: float = 1.0) -> jnp.ndarray:
-    """Full generator: (B,H,W,3) in [-1,1] -> (B,H,W,3) in [-1,1]."""
+                   reference: jnp.ndarray = None, s: float = 1.0,
+                   adain: jnp.ndarray = None) -> jnp.ndarray:
+    """Full generator: (B,H,W,3) in [-1,1] -> (B,H,W,3) in [-1,1].
+
+    Pass either ``reference`` (style image; PBEnc+VGG run inline) or a
+    precomputed ``adain`` code from :func:`style_adain`."""
     feature = rgb_encoder(p, "RGBEnc", clipart)
-    code = pixel_block_encoder(p, reference)
-    adain = style_mlp(p, code) * s
+    if adain is None:
+        adain = style_adain(p, reference, s)
     if adain.shape[0] == 1 and feature.shape[0] > 1:
         # One style reference serves the whole frame batch (the reference
         # model always uses a single reference.png): compute the PBEnc/MLP

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from dither_pie_tpu.models.c2pgen import aliasnet_forward, c2pgen_forward
+from dither_pie_tpu.models.c2pgen import (aliasnet_forward, c2pgen_forward,
+                                          style_adain)
 from dither_pie_tpu.models.convert import convert_checkpoints, find_checkpoint_dir
 from dither_pie_tpu.utils import compute_even_dimensions
 
@@ -67,20 +68,67 @@ def resize_image_nearest(img: Image.Image, target_size: int) -> Image.Image:
     return img.resize((nw, nh), Image.NEAREST)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _forward(gen_params, alias_params, in_t, ref_t):
-    return aliasnet_forward(alias_params, c2pgen_forward(gen_params, in_t, ref_t))
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _forward(gen_params, alias_params, in_t, ref_t, precision: str = "float32"):
+    with jax.default_matmul_precision(precision):
+        return aliasnet_forward(alias_params,
+                                c2pgen_forward(gen_params, in_t, ref_t))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _forward_u8(gen_params, alias_params, in_t, ref_t):
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _forward_u8(gen_params, alias_params, in_t, ref_t,
+                precision: str = "float32"):
     """Forward + on-device denormalization to uint8: [-1,1] -> (x+1)/2*255
     truncated, the reference's save() arithmetic
     (/root/reference/models/pixelization.py:76-83). Shipping u8 instead of
     f32 quarters the device->host transfer (the video-path bottleneck on
-    thin host links)."""
-    out = aliasnet_forward(alias_params, c2pgen_forward(gen_params, in_t, ref_t))
+    thin host links).
+
+    ``precision``: matmul/conv precision for the MXU. "float32" (default)
+    matches the torch-parity contract; "bfloat16" runs convolutions at the
+    MXU's native bf16 rate with f32 accumulation (activations and instance
+    norms stay f32) — the standard TPU inference trade, ~1 u8 step of
+    output difference on a tanh-bounded generator. Opt in via
+    DITHER_PIE_TPU_NEURAL_PRECISION=bfloat16."""
+    with jax.default_matmul_precision(precision):
+        out = aliasnet_forward(alias_params,
+                               c2pgen_forward(gen_params, in_t, ref_t))
     return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _forward_u8_adain(gen_params, alias_params, in_t, adain,
+                      precision: str = "float32"):
+    """forward_u8 with the (constant) adain style code precomputed once —
+    skips the per-call VGG19+PBEnc+MLP pass over reference.png."""
+    with jax.default_matmul_precision(precision):
+        out = aliasnet_forward(
+            alias_params, c2pgen_forward(gen_params, in_t, adain=adain))
+    return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _forward_adain(gen_params, alias_params, in_t, adain,
+                   precision: str = "float32"):
+    with jax.default_matmul_precision(precision):
+        return aliasnet_forward(
+            alias_params, c2pgen_forward(gen_params, in_t, adain=adain))
+
+
+@jax.jit
+def _style_adain_jit(gen_params, ref_t):
+    # Style code always at full f32 precision (computed once, cached).
+    with jax.default_matmul_precision("float32"):
+        return style_adain(gen_params, ref_t)
+
+
+def _env_precision() -> str:
+    import os
+
+    p = os.environ.get("DITHER_PIE_TPU_NEURAL_PRECISION", "float32")
+    if p not in ("float32", "bfloat16", "tensorfloat32"):
+        raise ValueError(f"bad DITHER_PIE_TPU_NEURAL_PRECISION: {p!r}")
+    return p
 
 
 class PixelizationModel:
@@ -110,18 +158,29 @@ class PixelizationModel:
         self.alias_params = {k: jnp.asarray(v) for k, v in alias.items()}
         ref_img = greyscale(Image.open(_REFERENCE_PNG).convert("L"))
         self.ref_t = jnp.asarray(process(ref_img))
+        self._adain = None  # style code cache (lazy; constant per params)
+
+    def _style(self) -> jnp.ndarray:
+        """The (1, 2048) adain code for reference.png — computed once per
+        loaded params (the reference recomputes VGG19+PBEnc+MLP on the same
+        image every forward; the result is identical)."""
+        if self._adain is None:
+            self._adain = _style_adain_jit(self.gen_params, self.ref_t)
+        return self._adain
 
     def forward_array(self, in_t: np.ndarray) -> np.ndarray:
         """(1, H, W, 3) in [-1, 1] -> same, through G_A + alias nets."""
-        out = _forward(self.gen_params, self.alias_params,
-                       jnp.asarray(in_t), self.ref_t)
+        out = _forward_adain(self.gen_params, self.alias_params,
+                             jnp.asarray(in_t), self._style(),
+                             precision=_env_precision())
         return np.asarray(out)
 
     def forward_u8(self, in_t: np.ndarray) -> np.ndarray:
         """(B, H, W, 3) in [-1, 1] -> (B, H, W, 3) uint8 (denormalized on
         device; 4x less device->host traffic than forward_array)."""
-        out = _forward_u8(self.gen_params, self.alias_params,
-                          jnp.asarray(in_t), self.ref_t)
+        out = _forward_u8_adain(self.gen_params, self.alias_params,
+                                jnp.asarray(in_t), self._style(),
+                                precision=_env_precision())
         return np.asarray(out)
 
     def pixelize(self, in_path: str, out_path: str):

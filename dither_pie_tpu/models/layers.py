@@ -43,9 +43,11 @@ def pad2d(x: jnp.ndarray, pad: int, pad_type: str) -> jnp.ndarray:
 
 def conv2d(x: jnp.ndarray, w_hwio: jnp.ndarray, b: Optional[jnp.ndarray],
            stride: int = 1) -> jnp.ndarray:
+    # Precision comes from the enclosing jax.default_matmul_precision
+    # context (inference.py): "highest" for torch-parity f32, "bfloat16"
+    # for the MXU-native fast mode.
     out = jax.lax.conv_general_dilated(
-        x, w_hwio, (stride, stride), "VALID", dimension_numbers=_DN,
-        precision=jax.lax.Precision.HIGHEST)
+        x, w_hwio, (stride, stride), "VALID", dimension_numbers=_DN)
     if b is not None:
         out = out + b
     return out
@@ -116,8 +118,7 @@ def res_blocks(p: Params, key: str, x: jnp.ndarray, n: int, norm: str,
 
 
 def linear_block(p: Params, key: str, x: jnp.ndarray, act: str) -> jnp.ndarray:
-    x = jnp.dot(x, p[f"{key}.fc.weight"],
-                precision=jax.lax.Precision.HIGHEST) + p[f"{key}.fc.bias"]
+    x = jnp.dot(x, p[f"{key}.fc.weight"]) + p[f"{key}.fc.bias"]
     return activation(act)(x)
 
 
@@ -143,8 +144,7 @@ def modulated_conv(p: Params, key: str, x: jnp.ndarray,
     def one(xb, wb):
         xb = jnp.pad(xb[None], ((0, 0), (pad, pad), (pad, pad), (0, 0)))
         return jax.lax.conv_general_dilated(
-            xb, wb, (1, 1), "VALID", dimension_numbers=_DN,
-            precision=jax.lax.Precision.HIGHEST)[0]
+            xb, wb, (1, 1), "VALID", dimension_numbers=_DN)[0]
 
     out = jax.vmap(one)(x, wm)
     out = out + bias
