@@ -10,11 +10,15 @@ minor). A u8 array whose minor dimension is 3 pads 3 lanes -> 128, i.e.
 (the real pipeline) get the sane {2,1,0} layout and are unaffected.
 
 Run on a TPU host:       python tools/xla_layout_repro.py [n_params] [batch]
-Expected: n_params=1 compiles and runs; n_params>=3 at batch 100 OOMs (or
-reports a >40x temp allocation) purely from the layout choice.
 
-This script is self-contained diagnostics — not part of the library. It
-exists so the pathology can be reported/bisected against new XLA releases.
+Status: this REDUCED form does NOT reproduce the pathology — with plain
+returned outputs both 1- and 3-param programs get healthy 1.0x layouts
+(measured on v5e, jax 0.9). The original failure had the planarized
+tensors consumed by pallas_call operands inside a multi-call chain, so
+the trigger involves the Pallas operand layout pass; bisect from the
+bench harness (bench.py config-3 chain variant) when reporting upstream.
+
+This script is self-contained diagnostics — not part of the library.
 """
 
 import sys
@@ -38,25 +42,26 @@ def main():
 
     @jax.jit
     def f(*frames):
-        acc = jnp.int32(0)
-        for fr in frames:
-            p = planarize(fr)
-            acc = acc + p[0, 0, 0].astype(jnp.int32) + p[-1, -1, -1].astype(jnp.int32)
-        return acc
+        # Returning the planarized tensors forces the transpose copies to
+        # materialize (slice/sum consumption lets XLA elide them entirely).
+        return [planarize(fr) for fr in frames]
 
     frames = [jnp.asarray(np.full((batch, h, w, 3), i, np.uint8))
               for i in range(n_params)]
-    lowered = f.lower(*frames)
-    compiled = lowered.compile()
-    mem = compiled.memory_analysis()
     arg_bytes = n_params * batch * h * w * 3
-    print(f"params={n_params} batch={batch} "
-          f"args={arg_bytes/1e9:.2f} GB")
-    if mem is not None:
-        print(f"temp allocation: {mem.temp_size_in_bytes/1e9:.2f} GB "
-              f"({mem.temp_size_in_bytes/max(arg_bytes,1):.1f}x of args)")
-    out = f(*frames)
-    print("executed ok, acc =", int(out))
+    print(f"params={n_params} batch={batch} args={arg_bytes/1e9:.2f} GB")
+    try:
+        compiled = f.lower(*frames).compile()
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            print(f"temp allocation: {mem.temp_size_in_bytes/1e9:.2f} GB "
+                  f"({mem.temp_size_in_bytes/max(arg_bytes,1):.1f}x of args); "
+                  f"output: {mem.output_size_in_bytes/1e9:.2f} GB "
+                  f"({mem.output_size_in_bytes/max(arg_bytes,1):.1f}x)")
+        outs = jax.block_until_ready(f(*frames))
+        print("executed ok,", len(outs), "planes of", outs[0].shape)
+    except Exception as e:
+        print(f"FAILED ({type(e).__name__}): {str(e)[:300]}")
 
 
 if __name__ == "__main__":
