@@ -483,8 +483,13 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
 
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     idx_skew = call(dims, img_skew, pal_dev, aux_skew)
-    idx = _unskew_idx(idx_skew, s, h_frame, h, w)  # (B, H, W)
-    out = _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
+    # v1 idx is (d_pad, B*h_frame) frame-major — a free minor-split view
+    # puts it in the packed epilogue's (d, B, lf) form, so the fused
+    # unskew+select kernel applies here too (XLA fallback when shapes or
+    # palette size disqualify).
+    idx3 = idx_skew.reshape(idx_skew.shape[0], b, h_frame)
+    out = _unskew_select_colors(idx3, jnp.asarray(palette, jnp.float32),
+                                s, h_frame, h, w, bool(interpret))
     return np.asarray(out)
 
 
@@ -596,8 +601,9 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
         else:
             aux = jnp.zeros((1, 8), jnp.float32)
         idx_skew = call(dims, sk, cols, aux)
-        idx = _unskew_idx(idx_skew, s, h_frame, h, w)
-        return _select_palette_colors(idx, palette.astype(jnp.float32))
+        idx3 = idx_skew.reshape(idx_skew.shape[0], batch, h_frame)
+        return _unskew_select_colors(idx3, palette.astype(jnp.float32),
+                                     s, h_frame, h, w, bool(interpret))
 
     return fn
 
