@@ -133,11 +133,14 @@ def main():
             return lambda: f(next(pool), palette16, screen1)
 
         # Long chain: the per-image latency (~0.03-0.3 ms) is far below the
-        # relay's per-dispatch noise, so accumulate 256 executions and take
-        # the best-of-3 differential (noise makes single diffs degenerate).
-        diffs = [timed_pair(single_many(1), single_many(256), 256)
-                 for _ in range(3)]
-        per1 = max(np.median(diffs), 1e-9)
+        # relay's per-dispatch noise, so accumulate 64 executions (longer
+        # chains explode Mosaic compile time through the dev tunnel) and
+        # take the median-of-3 differential (noise makes single diffs
+        # degenerate). The two callables are built once so each repeat
+        # reuses the compiled programs.
+        f1, fk = single_many(1), single_many(64)
+        diffs = [timed_pair(f1, fk, 64) for _ in range(3)]
+        per1 = max(float(np.median(diffs)), 1e-9)
         details["latency_512_bayer8x8_ms"] = round(per1 * 1000, 4)
         log(f"1: 512^2 bayer latency {per1*1e3:.3f} ms/image")
     except Exception as e:

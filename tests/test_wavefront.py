@@ -328,3 +328,16 @@ def test_unskew_select_kernel_matches_two_step(s, b, h, w, p):
     out = np.asarray(jnp.stack([planes[0], planes[1], planes[2]],
                                axis=-1)[:, :h, :w])
     np.testing.assert_array_equal(out, ref)
+
+
+def test_packed_batch_not_multiple_of_8():
+    """b=12 disqualifies the fused epilogue's 8-sublane blocking; the XLA
+    fallback inside _unskew_select_colors must keep outputs identical to
+    the per-frame scan."""
+    imgs = np.random.RandomState(31).randint(
+        0, 256, (12, 16, 20, 3)).astype(np.float32)
+    out = wf._run_packed("fixed", imgs.copy(), PAL, variant="floyd_steinberg")
+    for i in (0, 7, 11):
+        n = ed_host.ed_fixed(imgs[i].copy(), PAL, "floyd_steinberg", False)
+        ident = np.all(out[i] == n, axis=-1).mean()
+        assert ident > 0.95, f"frame {i}: {ident}"
