@@ -287,6 +287,9 @@ def main(argv: Optional[list] = None) -> int:
     parser.add_argument("--log-file", type=str)
     parser.add_argument("--resume", action="store_true",
                         help="segmented video processing with checkpoint/resume")
+    parser.add_argument("--shard", type=str, default=None, metavar="INDEX:COUNT",
+                        help="multi-host video sharding: this host processes "
+                             "its strided share of the segment grid (e.g. 0:4)")
     args = parser.parse_args(argv)
 
     if args.help:
@@ -360,7 +363,13 @@ def main(argv: Optional[list] = None) -> int:
         if config["mode"] == "image":
             success = process_single_image(config)
         elif config["mode"] == "video":
-            success = process_single_video(config, resume=args.resume)
+            hi, hc = 0, 1
+            if args.shard:
+                from dither_pie_tpu.parallel.multihost import parse_shard
+
+                hi, hc = parse_shard(args.shard)
+            success = process_single_video(config, resume=args.resume,
+                                           host_index=hi, host_count=hc)
         else:
             success = process_folder(config)
     except KeyboardInterrupt:

@@ -19,8 +19,13 @@ from pathlib import Path
 from typing import Dict, List, Optional, Set, Tuple
 
 
-def manifest_path(output_path: str) -> str:
-    return output_path + ".resume.json"
+def manifest_path(output_path: str, host_index: int = 0) -> str:
+    """Per-host manifests (``.resume.json`` for host 0, ``.resume.hK.json``
+    otherwise) — multi-host jobs write disjoint files, so there are no
+    cross-host races; part-file existence remains the source of truth."""
+    if host_index == 0:
+        return output_path + ".resume.json"
+    return f"{output_path}.resume.h{host_index}.json"
 
 
 def segment_part_path(output_path: str, seg_idx: int) -> str:
@@ -48,10 +53,11 @@ def n_segments(total_frames: int, segment_size: int) -> int:
     return (total_frames + segment_size - 1) // segment_size
 
 
-def load_manifest(output_path: str, expect: Dict) -> Set[int]:
-    """Completed segment indices, if the manifest matches this job's
-    parameters (otherwise start fresh)."""
-    p = manifest_path(output_path)
+def load_manifest(output_path: str, expect: Dict,
+                  host_index: int = 0) -> Set[int]:
+    """Completed segment indices recorded by ONE host, if its manifest
+    matches this job's parameters (otherwise start fresh)."""
+    p = manifest_path(output_path, host_index)
     if not os.path.exists(p):
         return set()
     try:
@@ -66,10 +72,28 @@ def load_manifest(output_path: str, expect: Dict) -> Set[int]:
     return {i for i in done if os.path.exists(segment_part_path(output_path, i))}
 
 
-def save_manifest(output_path: str, expect: Dict, completed: Set[int]):
+def load_all_manifests(output_path: str, expect: Dict,
+                       host_count: int = 1) -> Set[int]:
+    """Union of every host's completed segments (part files verified)."""
+    done: Set[int] = set()
+    for k in range(max(host_count, 1)):
+        done |= load_manifest(output_path, expect, host_index=k)
+    return done
+
+
+def save_manifest(output_path: str, expect: Dict, completed: Set[int],
+                  host_index: int = 0):
     data = dict(expect)
     data["completed"] = sorted(completed)
-    Path(manifest_path(output_path)).write_text(json.dumps(data, indent=2))
+    p = manifest_path(output_path, host_index)
+    tmp = p + ".tmp"
+    Path(tmp).write_text(json.dumps(data, indent=2))
+    os.replace(tmp, p)
+
+
+def all_parts_present(output_path: str, total_segments: int) -> bool:
+    return all(os.path.exists(segment_part_path(output_path, i))
+               for i in range(total_segments))
 
 
 def concat_segments(output_path: str, total_segments: int,
@@ -98,7 +122,10 @@ def concat_segments(output_path: str, total_segments: int,
                 os.remove(p)
             except OSError:
                 pass
-        for p in (list_path, manifest_path(output_path)):
+        import glob
+
+        # All hosts' manifests (multi-host jobs write .resume.hK.json).
+        for p in [list_path] + glob.glob(output_path + ".resume*.json"):
             try:
                 os.remove(p)
             except OSError:

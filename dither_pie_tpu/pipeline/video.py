@@ -221,16 +221,23 @@ class VideoProcessor:
                                 batch_size: Optional[int] = None,
                                 final_resize_multiplier: Optional[int] = None,
                                 resume: bool = False,
-                                segment_size: int = 300) -> bool:
+                                segment_size: int = 300,
+                                host_index: int = 0,
+                                host_count: int = 1) -> bool:
+        """``host_index``/``host_count`` shard the segment grid across hosts
+        (parallel/multihost.py): host k processes segments
+        ``i % host_count == k`` only; the final concat runs on whichever
+        host sees every part file present (shared filesystem). Implies the
+        segmented path."""
         if not ffio.video_available():
             logger.error("No video backend available (need ffmpeg on PATH, "
                          "or OpenCV as a video-only fallback)")
             return False
-        if resume:
+        if resume or host_count > 1:
             return self._process_segmented(
                 input_path, output_path, ditherer, pixelize_func,
                 batch_size or self.batch_size, final_resize_multiplier,
-                segment_size)
+                segment_size, host_index=host_index, host_count=host_count)
         try:
             info = self.get_video_info(input_path)
             fps, w, h = info["fps"], info["width"], info["height"]
@@ -270,16 +277,27 @@ class VideoProcessor:
     def _process_segmented(self, input_path: str, output_path: str,
                            ditherer: ImageDitherer,
                            pixelize_func, batch_size: int,
-                           final_resize_multiplier, segment_size: int) -> bool:
+                           final_resize_multiplier, segment_size: int,
+                           host_index: int = 0, host_count: int = 1) -> bool:
         """Checkpoint/resume path: encode fixed-size segments to part files
         with a manifest; re-running skips completed segments; parts are
-        concatenated (stream copy) with the original audio mapped in."""
+        concatenated (stream copy) with the original audio mapped in.
+
+        With ``host_count > 1`` this host processes only its strided share
+        of the segment grid (parallel/multihost.py) and records them in a
+        per-host manifest; the concat runs only once every segment's part
+        exists, so each host returns True when ITS share is done."""
         import itertools
         import os
 
+        from dither_pie_tpu.parallel.multihost import host_segments
         from dither_pie_tpu.pipeline import resume as rz
 
         if not ffio.ffmpeg_available():
+            if host_count > 1:
+                logger.error("Multi-host sharding needs ffmpeg "
+                             "(segment encode/concat)")
+                return False
             logger.warning("Resume mode needs ffmpeg (segment concat); "
                            "falling back to single-pass processing")
             return self.process_video_streaming(
@@ -291,6 +309,9 @@ class VideoProcessor:
             fps, w, h = info["fps"], info["width"], info["height"]
             total = info.get("frame_count")
             if not total:
+                if host_count > 1:
+                    logger.error("Unknown frame count; cannot shard video")
+                    return False
                 logger.warning("Unknown frame count; resume unavailable — "
                                "falling back to single-pass processing")
                 return self.process_video_streaming(
@@ -301,10 +322,13 @@ class VideoProcessor:
             expect = {"input": os.path.abspath(input_path),
                       "fps": round(fps, 5), "segment_size": segment_size,
                       "total_frames": total}
-            completed = rz.load_manifest(output_path, expect)
+            completed = rz.load_manifest(output_path, expect,
+                                         host_index=host_index)
             n_seg = rz.n_segments(total, segment_size)
+            mine = host_segments(n_seg, host_index, host_count)
             if completed:
-                logger.info(f"Resuming: {len(completed)}/{n_seg} segments done")
+                logger.info(f"Resuming: {len(completed)}/{len(mine)} "
+                            f"of this host's segments done")
 
             reader = ffio.read_frames(input_path, w, h)
             frames_done = 0
@@ -312,8 +336,9 @@ class VideoProcessor:
                 start = seg * segment_size
                 end = min(start + segment_size, total)
                 count = end - start
-                if seg in completed:
-                    # Already encoded: decode-and-discard to stay aligned.
+                if seg not in mine or seg in completed:
+                    # Another host's segment, or already encoded:
+                    # decode-and-discard to stay aligned.
                     for _ in itertools.islice(reader, count):
                         pass
                     frames_done += count
@@ -336,11 +361,19 @@ class VideoProcessor:
                                  f"({n_written}/{count} frames)")
                     return False
                 completed.add(seg)
-                rz.save_manifest(output_path, expect, completed)
+                rz.save_manifest(output_path, expect, completed,
+                                 host_index=host_index)
                 frames_done += count
                 self._report_progress(0.05 + 0.85 * frames_done / total,
                                       f"Segment {seg + 1}/{n_seg} done")
 
+            if host_count > 1 and not rz.all_parts_present(output_path, n_seg):
+                # Multi-host: other hosts still encoding their shares.
+                logger.info("This host's segments are done; waiting on "
+                            "other hosts' parts before concat")
+                self._report_progress(
+                    1.0, "Host share complete (concat pending)")
+                return True
             self._report_progress(0.92, "Concatenating segments...")
             ok = rz.concat_segments(output_path, n_seg, source_path=input_path)
             self._report_progress(1.0, "Video processing complete!"
@@ -364,9 +397,12 @@ class NeuralPixelizer:
 
 
 def process_single_video(config: Dict[str, Any], neural_pixelizer=None,
-                         resume: bool = False) -> bool:
+                         resume: bool = False,
+                         host_index: int = 0, host_count: int = 1) -> bool:
     """Config-driven video processing (reference surface:
-    dither_cli.py:593-710): palette from first frame, then stream."""
+    dither_cli.py:593-710): palette from first frame, then stream.
+    ``host_index``/``host_count`` shard the segment grid across hosts
+    (CLI ``--shard INDEX:COUNT``; see parallel/multihost.py)."""
     from dither_pie_tpu.pipeline.image import build_ditherer
 
     try:
@@ -420,7 +456,8 @@ def process_single_video(config: Dict[str, Any], neural_pixelizer=None,
                 str(input_path), str(output_path), ditherer,
                 pixelize_func=pixelize_func,
                 final_resize_multiplier=final_resize,
-                resume=resume)
+                resume=resume,
+                host_index=host_index, host_count=host_count)
         if ok:
             size_mb = output_path.stat().st_size / (1024 * 1024)
             logger.info(f"Video processed successfully ({size_mb:.1f} MB)")
