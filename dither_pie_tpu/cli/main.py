@@ -147,8 +147,14 @@ def generate_output_filename(input_path: Path, config: Dict[str, Any]) -> Path:
     return input_path.parent / f"{'_'.join(parts)}{input_path.suffix}"
 
 
-def process_folder(config: Dict[str, Any]) -> bool:
-    """Process every image/video in a folder; continue-on-error + summary."""
+def process_folder(config: Dict[str, Any], host_index: int = 0,
+                   host_count: int = 1) -> bool:
+    """Process every image/video in a folder; continue-on-error + summary.
+
+    ``host_index``/``host_count`` (CLI ``--shard``) stride the sorted file
+    list across hosts — each host processes files where
+    ``i % host_count == host_index`` (file-level data parallelism; no
+    coordination needed beyond a shared output directory)."""
     try:
         input_path = Path(config["input"])
         output_path = Path(config["output"])
@@ -161,7 +167,17 @@ def process_folder(config: Dict[str, Any]) -> bool:
                        if f.is_file() and f.suffix.lower() in IMAGE_EXTENSIONS]
         video_files = [f for f in all_files
                        if f.is_file() and f.suffix.lower() in VIDEO_EXTENSIONS]
+        if host_count > 1:
+            media = image_files + video_files
+            mine = set(str(f) for f in media[host_index::host_count])
+            image_files = [f for f in image_files if str(f) in mine]
+            video_files = [f for f in video_files if str(f) in mine]
+            logger.info(f"Shard {host_index}/{host_count}: "
+                        f"{len(mine)} of {len(media)} files")
         if not image_files and not video_files:
+            if host_count > 1:
+                logger.info("No files in this host's shard")
+                return True
             logger.error(f"No processable image or video files found in: {input_path}")
             return False
 
@@ -355,6 +371,18 @@ def main(argv: Optional[list] = None) -> int:
             logger.error(str(e))
             return 1
 
+    hi, hc = 0, 1
+    if args.shard:
+        from dither_pie_tpu.parallel.multihost import parse_shard
+
+        try:
+            hi, hc = parse_shard(args.shard)
+        except ValueError as e:
+            logger.error(str(e))
+            return 1
+        if config["mode"] == "image":
+            logger.warning("--shard applies to video/folder modes; ignored")
+
     logger.info(f"Input:  {config['input']}")
     logger.info(f"Output: {config['output']}")
     logger.info(f"Mode:   {config['mode']}")
@@ -363,15 +391,10 @@ def main(argv: Optional[list] = None) -> int:
         if config["mode"] == "image":
             success = process_single_image(config)
         elif config["mode"] == "video":
-            hi, hc = 0, 1
-            if args.shard:
-                from dither_pie_tpu.parallel.multihost import parse_shard
-
-                hi, hc = parse_shard(args.shard)
             success = process_single_video(config, resume=args.resume,
                                            host_index=hi, host_count=hc)
         else:
-            success = process_folder(config)
+            success = process_folder(config, host_index=hi, host_count=hc)
     except KeyboardInterrupt:
         logger.warning("Processing interrupted by user (Ctrl+C)")
         return 130

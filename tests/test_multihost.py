@@ -142,3 +142,34 @@ def test_single_host_resume_still_concats(tmp_path, monkeypatch):
     ok = vp_ok = VideoProcessor(batch_size=4).process_video_streaming(
         "in.mp4", out, d, resume=True, segment_size=2)
     assert ok and vp_ok and concats == [3]
+
+
+def test_folder_sharding(tmp_path, monkeypatch):
+    """--shard strides the folder batch's file list across hosts."""
+    from PIL import Image
+
+    from dither_pie_tpu.cli.main import process_folder
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    rng = np.random.RandomState(2)
+    for i in range(5):
+        Image.fromarray(rng.randint(0, 256, (16, 20, 3), dtype=np.uint8)
+                        ).save(src / f"im{i}.png")
+    cfg = {
+        "input": str(src), "output": str(out), "mode": "folder",
+        "pixelization": {"enabled": False, "method": "none", "max_size": 64},
+        "dithering": {"enabled": True, "mode": "bayer", "parameters": {}},
+        "palette": {"source": "median_cut", "num_colors": 4,
+                    "use_gamma": False},
+        "final_resize": {"enabled": False, "multiplier": 1},
+    }
+    assert process_folder(dict(cfg), host_index=0, host_count=2)
+    done0 = {p.name for p in out.iterdir()}
+    assert done0 == {"im0.png", "im2.png", "im4.png"}
+    assert process_folder(dict(cfg), host_index=1, host_count=2)
+    done = {p.name for p in out.iterdir()}
+    assert done == {f"im{i}.png" for i in range(5)}
+    # an out-of-range shard with no files still succeeds (empty share)
+    assert process_folder(dict(cfg), host_index=4, host_count=5)
