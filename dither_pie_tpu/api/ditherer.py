@@ -427,6 +427,13 @@ class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         wf = None if self.serpentine else _wavefront_or_none()
         if wf is not None:
+            # DITHER_PIE_TPU_AUTO_MESH=1: shard the batch over every local
+            # chip (data-parallel, zero collectives; parallel/auto.py).
+            from dither_pie_tpu.parallel.auto import maybe_sharded_ed
+
+            out = maybe_sharded_ed(np.asarray(images), pal, self.variant)
+            if out is not None:
+                return out
             return wf.ed_batch_wavefront(np.asarray(images), pal,
                                          "fixed", self.variant)
         # Serpentine video batches take the SIMD f32 fast path (reference

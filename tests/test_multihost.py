@@ -173,3 +173,19 @@ def test_folder_sharding(tmp_path, monkeypatch):
     assert done == {f"im{i}.png" for i in range(5)}
     # an out-of-range shard with no files still succeeds (empty share)
     assert process_folder(dict(cfg), host_index=4, host_count=5)
+
+
+def test_auto_mesh_ed_batch_matches_single(monkeypatch):
+    """DITHER_PIE_TPU_AUTO_MESH=1 shards the batch ED step over the 8
+    virtual CPU devices; outputs must be bit-identical to the single-device
+    path (padding to the mesh size included: b=10 over 8 devices)."""
+    frames = np.random.RandomState(5).randint(
+        0, 256, (10, 24, 32, 3), dtype=np.uint8)
+    pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40), (30, 90, 200)]
+    d = dpt.ImageDitherer(
+        num_colors=4, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
+        palette=list(pal), dither_params={"variant": "floyd_steinberg"})
+    single = d.apply_dithering_batch(frames)
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
+    sharded = d.apply_dithering_batch(frames)
+    np.testing.assert_array_equal(sharded, single)
