@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict
 
+import jax
 import jax.numpy as jnp
 
 from dither_pie_tpu.models.layers import (
@@ -130,29 +131,39 @@ def rgb_decoder(p: Params, key: str, x: jnp.ndarray,
     return conv_block(p, f"{key}.conv_3", x, 1, 3, "none", "tanh", "reflect")
 
 
-def style_adain(p: Params, reference: jnp.ndarray, s: float = 1.0) -> jnp.ndarray:
+def style_adain(p: Params, reference: jnp.ndarray, s: float = 1.0,
+                precision: str = "float32") -> jnp.ndarray:
     """(1, H, W, 3) reference image -> (1, 2048) adain code. Constant for a
     fixed reference.png, so callers cache it across forwards
     (inference.PixelizationModel)."""
-    return style_mlp(p, pixel_block_encoder(p, reference)) * s
+    with jax.default_matmul_precision(precision):
+        return style_mlp(p, pixel_block_encoder(p, reference)) * s
 
 
 def c2pgen_forward(p: Params, clipart: jnp.ndarray,
                    reference: jnp.ndarray = None, s: float = 1.0,
-                   adain: jnp.ndarray = None) -> jnp.ndarray:
+                   adain: jnp.ndarray = None,
+                   precision: str = "float32") -> jnp.ndarray:
     """Full generator: (B,H,W,3) in [-1,1] -> (B,H,W,3) in [-1,1].
 
     Pass either ``reference`` (style image; PBEnc+VGG run inline) or a
-    precomputed ``adain`` code from :func:`style_adain`."""
-    feature = rgb_encoder(p, "RGBEnc", clipart)
-    if adain is None:
-        adain = style_adain(p, reference, s)
-    if adain.shape[0] == 1 and feature.shape[0] > 1:
-        # One style reference serves the whole frame batch (the reference
-        # model always uses a single reference.png): compute the PBEnc/MLP
-        # path once and broadcast the 2048-d code over the batch.
-        adain = jnp.broadcast_to(adain, (feature.shape[0], adain.shape[1]))
-    return rgb_decoder(p, "RGBDec", feature, adain)
+    precomputed ``adain`` code from :func:`style_adain`.
+
+    ``precision``: matmul/conv precision ("float32" default — full f32,
+    the torch-parity contract for every direct caller; "bfloat16" is the
+    MXU fast mode the inference wrappers opt into)."""
+    with jax.default_matmul_precision(precision):
+        feature = rgb_encoder(p, "RGBEnc", clipart)
+        if adain is None:
+            adain = style_adain(p, reference, s, precision=precision)
+        if adain.shape[0] == 1 and feature.shape[0] > 1:
+            # One style reference serves the whole frame batch (the
+            # reference model always uses a single reference.png): compute
+            # the PBEnc/MLP path once and broadcast the 2048-d code over
+            # the batch.
+            adain = jnp.broadcast_to(adain,
+                                     (feature.shape[0], adain.shape[1]))
+        return rgb_decoder(p, "RGBDec", feature, adain)
 
 
 # ---------------------------------------------------------------------------
@@ -160,8 +171,15 @@ def c2pgen_forward(p: Params, clipart: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def aliasnet_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Anti-aliasing net: encoder (in-norm) + decoder, reflect padding."""
+def aliasnet_forward(p: Params, x: jnp.ndarray,
+                     precision: str = "float32") -> jnp.ndarray:
+    """Anti-aliasing net: encoder (in-norm) + decoder, reflect padding.
+    ``precision`` as in :func:`c2pgen_forward`."""
+    with jax.default_matmul_precision(precision):
+        return _aliasnet_body(p, x)
+
+
+def _aliasnet_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     x = conv_block(p, "RGBEnc.model.0", x, 1, 3, "in", "relu", "reflect")
     x = conv_block(p, "RGBEnc.model.1", x, 2, 1, "in", "relu", "reflect")
     x = conv_block(p, "RGBEnc.model.2", x, 2, 1, "in", "relu", "reflect")

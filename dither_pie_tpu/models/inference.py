@@ -70,9 +70,10 @@ def resize_image_nearest(img: Image.Image, target_size: int) -> Image.Image:
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _forward(gen_params, alias_params, in_t, ref_t, precision: str = "float32"):
-    with jax.default_matmul_precision(precision):
-        return aliasnet_forward(alias_params,
-                                c2pgen_forward(gen_params, in_t, ref_t))
+    return aliasnet_forward(
+        alias_params,
+        c2pgen_forward(gen_params, in_t, ref_t, precision=precision),
+        precision=precision)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -90,9 +91,10 @@ def _forward_u8(gen_params, alias_params, in_t, ref_t,
     norms stay f32) — the standard TPU inference trade, ~1 u8 step of
     output difference on a tanh-bounded generator. Opt in via
     DITHER_PIE_TPU_NEURAL_PRECISION=bfloat16."""
-    with jax.default_matmul_precision(precision):
-        out = aliasnet_forward(alias_params,
-                               c2pgen_forward(gen_params, in_t, ref_t))
+    out = aliasnet_forward(
+        alias_params,
+        c2pgen_forward(gen_params, in_t, ref_t, precision=precision),
+        precision=precision)
     return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
 
 
@@ -101,25 +103,26 @@ def _forward_u8_adain(gen_params, alias_params, in_t, adain,
                       precision: str = "float32"):
     """forward_u8 with the (constant) adain style code precomputed once —
     skips the per-call VGG19+PBEnc+MLP pass over reference.png."""
-    with jax.default_matmul_precision(precision):
-        out = aliasnet_forward(
-            alias_params, c2pgen_forward(gen_params, in_t, adain=adain))
+    out = aliasnet_forward(
+        alias_params,
+        c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
+        precision=precision)
     return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _forward_adain(gen_params, alias_params, in_t, adain,
                    precision: str = "float32"):
-    with jax.default_matmul_precision(precision):
-        return aliasnet_forward(
-            alias_params, c2pgen_forward(gen_params, in_t, adain=adain))
+    return aliasnet_forward(
+        alias_params,
+        c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
+        precision=precision)
 
 
 @jax.jit
 def _style_adain_jit(gen_params, ref_t):
     # Style code always at full f32 precision (computed once, cached).
-    with jax.default_matmul_precision("float32"):
-        return style_adain(gen_params, ref_t)
+    return style_adain(gen_params, ref_t, precision="float32")
 
 
 def _env_precision() -> str:

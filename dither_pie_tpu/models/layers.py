@@ -44,8 +44,8 @@ def pad2d(x: jnp.ndarray, pad: int, pad_type: str) -> jnp.ndarray:
 def conv2d(x: jnp.ndarray, w_hwio: jnp.ndarray, b: Optional[jnp.ndarray],
            stride: int = 1) -> jnp.ndarray:
     # Precision comes from the enclosing jax.default_matmul_precision
-    # context (inference.py): "highest" for torch-parity f32, "bfloat16"
-    # for the MXU-native fast mode.
+    # context set by c2pgen_forward/aliasnet_forward (defaults "float32"
+    # — torch-parity; "bfloat16" is the opt-in MXU-native fast mode).
     out = jax.lax.conv_general_dilated(
         x, w_hwio, (stride, stride), "VALID", dimension_numbers=_DN)
     if b is not None:

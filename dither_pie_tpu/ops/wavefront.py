@@ -276,9 +276,13 @@ def _plan(h: int, w: int, p: int, batch: int, s: int, chunk: int,
         # Collapse nearby shapes onto one compiled program: pad the scan
         # length to 256-step granularity (<= ~6% extra steps at 1080p) and
         # the palette to a power-of-two-ish size (sentinel entries never
-        # win the argmin).
+        # win the argmin). Round to lcm(256, chunk) so d_pad is always a
+        # multiple of 128 — the fused unskew+select kernel's requirement —
+        # even for the v1 chunk of 24 (ostromoukhov): a ~12% step overhead
+        # there buys back the ~4 ms XLA epilogue.
         pp = max(8, 1 << (pp - 1).bit_length())
-        d_pad = _round_up(_round_up(d_pad, 256), chunk)
+        m = 256 * chunk // math.gcd(256, chunk)
+        d_pad = _round_up(d_pad, m)
     return h_frame, hp, pp, d_pad
 
 
@@ -387,15 +391,9 @@ def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
     return t.reshape(d_pad, c, b * h_frame)
 
 
-@functools.partial(jax.jit, static_argnames=("s", "h_frame", "h", "w"))
-def _unskew_idx(idx_skew: jnp.ndarray, s: int, h_frame: int, h: int, w: int) -> jnp.ndarray:
-    """(d_pad, B*h_frame) int32 -> (B, H, W) palette indices."""
-    d_pad = idx_skew.shape[0]
-    b = idx_skew.shape[1] // h_frame
-    flat = idx_skew.reshape(d_pad, b, h_frame).transpose(1, 2, 0)  # (B, lf, D)
-    flat = flat.reshape(b, h_frame * d_pad)
-    flat = jnp.pad(flat, ((0, 0), (0, h_frame * s)))
-    return flat.reshape(b, h_frame, d_pad + s)[:, :h, :w]
+# (The v1 (d_pad, B*h_frame) unskew is a free reshape into the packed
+# (d, B, lf) form — see the idx3 reshape at the v1 call sites — so the
+# packed _unskew_idx_packed / _unskew_select_colors serve both layouts.)
 
 
 def _pad_palette(pal: np.ndarray, pp: int) -> np.ndarray:

@@ -3,12 +3,15 @@
 Frames are embarrassingly parallel, so multi-host scaling is pure
 frame-range partitioning over the same segment grid the checkpoint/resume
 machinery uses (pipeline/resume.py): host k owns segments
-``{i : i % host_count == host_index}``, decodes only its own ranges
-(ffmpeg runs per host), encodes part files, and records them in a
-PER-HOST manifest (no cross-host write races; part-file existence is the
-source of truth). Once every segment's part exists, any host — or a
-separate finalize step — concatenates them with the original audio and
-subtitles mapped in.
+``{i : i % host_count == host_index}``; each host streams one full decode
+of the source (decode is a small fraction of the dither+encode work;
+frame-seeking per-range decode is a possible future refinement) but
+dithers and ENCODES only its own segments, written atomically
+(tmp+rename) and recorded in a PER-HOST manifest (no cross-host write
+races; part-file existence is the source of truth). Once every segment
+is covered by a manifest matching this job's settings fingerprint and
+its part exists, exactly one host (an O_EXCL lock arbitrates)
+concatenates them with the original audio and subtitles mapped in.
 
 No cross-host collective is needed anywhere: the palette is derived
 deterministically by every host from the same first frame, and the

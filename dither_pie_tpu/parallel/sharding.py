@@ -24,6 +24,14 @@ try:  # jax >= 0.8 top-level API; the experimental path is deprecated
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
+import inspect
+
+# jax 0.9 renamed check_rep -> check_vma; pick whichever this version has
+# so the older-jax fallback import above actually works.
+_SM_CHECK_KW = ("check_vma"
+                if "check_vma" in inspect.signature(shard_map).parameters
+                else "check_rep")
+
 from dither_pie_tpu.core.colors import srgb_to_linear, linear_to_srgb
 from dither_pie_tpu.core.distance import distance_ratio_factor, top2_palette
 
@@ -108,7 +116,7 @@ def make_sharded_ed_step(mesh: Mesh, h: int, w: int, p: int,
         in_specs=(P("data", None, None, None), P()),
         out_specs=(P("data", None, None, None), P()),
         # pallas_call out_shapes carry no varying-mesh-axis metadata.
-        check_vma=False,
+        **{_SM_CHECK_KW: False},
     ))
 
     def run(frames_u8: np.ndarray, palette: np.ndarray):

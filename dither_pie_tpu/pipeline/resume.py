@@ -32,6 +32,13 @@ def segment_part_path(output_path: str, seg_idx: int) -> str:
     return f"{output_path}.seg{seg_idx:04d}.mp4"
 
 
+def segment_tmp_path(output_path: str, seg_idx: int) -> str:
+    """Encode target before the atomic rename to the part path — a part
+    file must never be visible half-written (other hosts gate the concat
+    on part existence)."""
+    return f"{output_path}.seg{seg_idx:04d}.tmp.mp4"
+
+
 def plan_segments(total_frames: int, segment_size: int,
                   completed: Set[int]) -> List[Tuple[int, int, int]]:
     """[(seg_idx, start_frame, end_frame)] for segments still to process."""
@@ -125,7 +132,9 @@ def concat_segments(output_path: str, total_segments: int,
         import glob
 
         # All hosts' manifests (multi-host jobs write .resume.hK.json).
-        for p in [list_path] + glob.glob(output_path + ".resume*.json"):
+        # glob.escape: output names may contain glob metacharacters.
+        for p in [list_path] + glob.glob(glob.escape(output_path)
+                                         + ".resume*.json"):
             try:
                 os.remove(p)
             except OSError:

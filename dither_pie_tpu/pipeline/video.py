@@ -274,6 +274,28 @@ class VideoProcessor:
             return False
 
 
+    @staticmethod
+    def _settings_fingerprint(ditherer: ImageDitherer, pixelize_func,
+                              final_resize_multiplier) -> str:
+        """Stable hash of everything that shapes the output pixels, so a
+        rerun with different settings never resumes (or concatenates) stale
+        part files from a previous job."""
+        import hashlib
+        import json as _json
+
+        payload = {
+            "mode": getattr(ditherer.dither_mode, "value",
+                            str(ditherer.dither_mode)),
+            "num_colors": ditherer.num_colors,
+            "use_gamma": ditherer.use_gamma,
+            "params": ditherer.dither_params,
+            "palette": ditherer.palette,
+            "pixelize": list(pixelize_func) if pixelize_func else None,
+            "resize": final_resize_multiplier,
+        }
+        return hashlib.md5(_json.dumps(payload, sort_keys=True,
+                                       default=str).encode()).hexdigest()
+
     def _process_segmented(self, input_path: str, output_path: str,
                            ditherer: ImageDitherer,
                            pixelize_func, batch_size: int,
@@ -321,7 +343,9 @@ class VideoProcessor:
 
             expect = {"input": os.path.abspath(input_path),
                       "fps": round(fps, 5), "segment_size": segment_size,
-                      "total_frames": total}
+                      "total_frames": total,
+                      "settings": self._settings_fingerprint(
+                          ditherer, pixelize_func, final_resize_multiplier)}
             completed = rz.load_manifest(output_path, expect,
                                          host_index=host_index)
             n_seg = rz.n_segments(total, segment_size)
@@ -343,7 +367,11 @@ class VideoProcessor:
                         pass
                     frames_done += count
                     continue
+                # Encode to a tmp name, rename when complete: a part file
+                # must never be visible half-written (other hosts gate the
+                # concat on part existence).
                 part = rz.segment_part_path(output_path, seg)
+                tmp = rz.segment_tmp_path(output_path, seg)
                 writer = None
                 n_written = 0
                 for out in process_frames(
@@ -353,13 +381,14 @@ class VideoProcessor:
                         batch_size=batch_size):
                     if writer is None:
                         oh, ow = out.shape[:2]
-                        writer = ffio.FrameWriter(part, ow, oh, fps)
+                        writer = ffio.FrameWriter(tmp, ow, oh, fps)
                     writer.write(out)
                     n_written += 1
                 if writer is None or not writer.close() or n_written != count:
                     logger.error(f"Segment {seg} failed "
                                  f"({n_written}/{count} frames)")
                     return False
+                os.replace(tmp, part)
                 completed.add(seg)
                 rz.save_manifest(output_path, expect, completed,
                                  host_index=host_index)
@@ -367,13 +396,43 @@ class VideoProcessor:
                 self._report_progress(0.05 + 0.85 * frames_done / total,
                                       f"Segment {seg + 1}/{n_seg} done")
 
-            if host_count > 1 and not rz.all_parts_present(output_path, n_seg):
-                # Multi-host: other hosts still encoding their shares.
-                logger.info("This host's segments are done; waiting on "
-                            "other hosts' parts before concat")
-                self._report_progress(
-                    1.0, "Host share complete (concat pending)")
-                return True
+            if host_count > 1:
+                # Concat only when every segment is covered by a manifest
+                # MATCHING this job's settings fingerprint AND its part
+                # exists — stale parts from an older run with different
+                # settings can never be concatenated.
+                covered = rz.load_all_manifests(output_path, expect,
+                                                host_count)
+                if (covered != set(range(n_seg))
+                        or not rz.all_parts_present(output_path, n_seg)):
+                    logger.info("This host's segments are done; waiting on "
+                                "other hosts' parts before concat")
+                    self._report_progress(
+                        1.0, "Host share complete (concat pending)")
+                    return True
+                # Claim the concat atomically (two hosts can finish at the
+                # same time); the loser reports success-pending.
+                lock = output_path + ".concat.lock"
+                try:
+                    os.close(os.open(lock, os.O_CREAT | os.O_EXCL
+                                     | os.O_WRONLY))
+                except FileExistsError:
+                    logger.info("Another host is concatenating")
+                    self._report_progress(
+                        1.0, "Host share complete (concat in progress)")
+                    return True
+                try:
+                    self._report_progress(0.92, "Concatenating segments...")
+                    ok = rz.concat_segments(output_path, n_seg,
+                                            source_path=input_path)
+                finally:
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+                self._report_progress(1.0, "Video processing complete!"
+                                      if ok else "Concat failed")
+                return ok
             self._report_progress(0.92, "Concatenating segments...")
             ok = rz.concat_segments(output_path, n_seg, source_path=input_path)
             self._report_progress(1.0, "Video processing complete!"
@@ -459,8 +518,14 @@ def process_single_video(config: Dict[str, Any], neural_pixelizer=None,
                 resume=resume,
                 host_index=host_index, host_count=host_count)
         if ok:
-            size_mb = output_path.stat().st_size / (1024 * 1024)
-            logger.info(f"Video processed successfully ({size_mb:.1f} MB)")
+            if output_path.exists():
+                size_mb = output_path.stat().st_size / (1024 * 1024)
+                logger.info(f"Video processed successfully ({size_mb:.1f} MB)")
+            else:
+                # Multi-host: this host's share is done; the final concat
+                # runs on whichever host sees every part present.
+                logger.info("Host share complete (final concat pending on "
+                            "other hosts)")
             return True
         logger.error("Video processing failed")
         return False
