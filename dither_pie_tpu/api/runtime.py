@@ -23,6 +23,11 @@ def jax_platform() -> str:
     failed to register (e.g. the chip is held by another process)."""
     import jax
 
+    # Every entry point benefits from the persistent executable cache
+    # (remote compiles cost minutes per shape) — not just the CLI.
+    from dither_pie_tpu.api.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     try:
         jax.devices()
         return jax.default_backend()

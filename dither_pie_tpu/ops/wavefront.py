@@ -370,13 +370,24 @@ def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
     b, h, w, c = images.shape
     d_t = _round_up(d_pad, 128)
     if not interpret:
-        n_in = -(-(255 + 127 * s) // 128)
-        wcp = max(_round_up(w, 128), n_in * 128)
-        x = jnp.pad(images, ((0, 0), (0, h_frame - h), (0, wcp - w), (0, 0)))
-        x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame, wcp)
-        call = _skew_transpose_fused_call(c * b, h_frame, d_t, s, wcp,
-                                          images.dtype.name, False, out_dtype)
-        t = call(*([x] * n_in))
+        if c * b % 8 == 0 and d_t % 128 == 0:
+            wcp = _round_up(w, 128)
+            x = jnp.pad(images,
+                        ((0, 0), (0, h_frame - h), (0, wcp - w), (0, 0)))
+            x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame, wcp)
+            call = _skew_fullrow_call(c * b, h_frame, d_t, s, wcp,
+                                      images.dtype.name, out_dtype, False)
+            t = call(x)
+        else:
+            n_in = -(-(255 + 127 * s) // 128)
+            wcp = max(_round_up(w, 128), n_in * 128)
+            x = jnp.pad(images,
+                        ((0, 0), (0, h_frame - h), (0, wcp - w), (0, 0)))
+            x = x.transpose(3, 0, 1, 2).reshape(c * b, h_frame, wcp)
+            call = _skew_transpose_fused_call(c * b, h_frame, d_t, s, wcp,
+                                              images.dtype.name, False,
+                                              out_dtype)
+            t = call(*([x] * n_in))
         if d_t != d_pad:
             t = t[:d_pad]
         return t.reshape(d_pad, c, b * h_frame)
@@ -823,16 +834,98 @@ def _skew_transpose_fused_call(r: int, lf: int, d_t: int, s: int, wcp: int,
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _skew_fullrow_call(r: int, lf: int, d_t: int, s: int, wcp: int,
+                       in_dtype: str, out_dtype: str, interpret: bool):
+    """Skew kernel v2: full-row residency instead of window fetches.
+
+    The window formulation reads each (rb, 128, 128) block out of a
+    wcp-minor array — 128-byte DMA segments, ~9x read amplification from
+    window overlap across d-tiles (~8 ms/batch-16 measured). Here each
+    grid cell loads its FULL rows once, (rb, 128, wcp) contiguous, and
+    uses the identity
+
+        out[d = 128g + j, plane, y] = x[y, (128g + j - s*y_glob) mod wcp]
+
+    (exact for valid pixels: their column never wraps). One per-sublane
+    bit-roll chain by r0(y) = (-s*y_glob) mod wcp turns EVERY d-tile into
+    a static 128-lane slice at tile (g mod wcp/128): per plane it's one
+    roll chain + d_t/128 slice+transpose+cast+stores, with total HBM
+    reads equal to the image size."""
+    out_jnp = jnp.dtype(out_dtype)
+    # bf16 out blocks want 16-sublane tiles (8 would store half-tiles).
+    if out_jnp == jnp.bfloat16 and r % 16 == 0:
+        rb = 16
+    else:
+        rb = 8 if r % 8 == 0 else r
+    assert wcp % 128 == 0 and lf % 128 == 0 and d_t % 128 == 0
+    wtiles = wcp // 128
+    cbits = (wcp - 1).bit_length()
+    # Even skew: s*y_glob is even and wcp is a multiple of 128, so r0 is
+    # provably even; skip the bit-0 roll round.
+    j0 = 1 if (s % 2 == 0 and wcp % 2 == 0) else 0
+
+    def kernel(in_ref, out_ref):
+        y0 = pl.program_id(0)
+        y_sub = jax.lax.broadcasted_iota(jnp.int32, (128, wcp), 0)
+        y_glob = 128 * y0 + y_sub
+        r0 = jax.lax.rem(
+            jax.lax.rem(-s * y_glob, wcp) + wcp, wcp)
+        bits = [(r0 >> j) & 1 == 1 for j in range(cbits)]
+        for i in range(rb):
+            u = in_ref[i]  # (128, wcp), input dtype (u8 rolls are cheap)
+            for j in range(j0, cbits):
+                u = jnp.where(bits[j], jnp.roll(u, -(1 << j), axis=1), u)
+            # u[y, l] = x[y, (l + s*y_glob ... inverse) ] such that
+            # u[y, (128g + j) mod wcp] = x[y, (128g + j - s*y_glob) mod wcp]
+            for g in range(d_t // 128):
+                gm = g % wtiles
+                cols = u[:, gm * 128:(gm + 1) * 128]
+                if cols.dtype == jnp.uint8:
+                    cols = cols.astype(jnp.int32)
+                cols = cols.astype(jnp.float32)
+                if out_jnp != jnp.float32:
+                    cols = cols.astype(out_jnp)
+                out_ref[g * 128:(g + 1) * 128, i, :] = cols.T
+
+    return pl.pallas_call(
+        kernel,
+        grid=(lf // 128, r // rb),
+        in_specs=[pl.BlockSpec((rb, 128, wcp), lambda y, ri: (ri, y, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((d_t, rb, 128), lambda y, ri: (0, ri, y),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((d_t, r, lf), out_jnp),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            # The out block spans the full d axis (so every d-tile slice
+            # is static); ~17 MB double-buffered exceeds the default 16 MB
+            # scoped-vmem budget.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )
+
+
 @functools.partial(jax.jit,
                    static_argnames=("s", "lf", "d_pad", "interpret", "out_dtype"))
 def _skew_packed_fused(images: jnp.ndarray, s: int, lf: int, d_pad: int,
                        interpret: bool = False,
                        out_dtype: str = "float32") -> jnp.ndarray:
     """Fast path: planarize compact (cheap; no wavefront-width pad), then
-    the fused skew-transpose kernel."""
+    the full-row skew kernel (v2); the window-fetch kernel remains for
+    plane counts that defeat the v2 block shape."""
     images = jnp.asarray(images)
     b, h, w, _ = images.shape
     d_t = _round_up(d_pad, 128)
+    wcp_v2 = _round_up(w, 128)
+    if 3 * b % 8 == 0 and d_t % 128 == 0:
+        x = jnp.pad(images, ((0, 0), (0, lf - h), (0, wcp_v2 - w), (0, 0)))
+        x = x.transpose(3, 0, 1, 2).reshape(3 * b, lf, wcp_v2)
+        call = _skew_fullrow_call(3 * b, lf, d_t, s, wcp_v2,
+                                  images.dtype.name, out_dtype, interpret)
+        t = call(x)
+        return t[:d_pad] if d_t != d_pad else t
     n_in = -(-(255 + 127 * s) // 128)
     wcp = max(_round_up(w, 128), n_in * 128)
     x = jnp.pad(images, ((0, 0), (0, lf - h), (0, wcp - w), (0, 0)))

@@ -341,3 +341,38 @@ def test_packed_batch_not_multiple_of_8():
         n = ed_host.ed_fixed(imgs[i].copy(), PAL, "floyd_steinberg", False)
         ident = np.all(out[i] == n, axis=-1).mean()
         assert ident > 0.95, f"frame {i}: {ident}"
+
+
+@pytest.mark.parametrize("s,b,h,w,dt", [
+    (2, 8, 120, 200, "uint8"),
+    (3, 8, 100, 150, "float32"),
+    (2, 16, 380, 140, "uint8"),   # d-tiles wrap past wcp (g mod wtiles)
+])
+def test_fullrow_skew_matches_lemma(s, b, h, w, dt):
+    """Skew kernel v2 (full-row residency + static d-tile slices) must
+    agree with the stride-lemma formulation on every valid position."""
+    import jax.numpy as jnp
+
+    lf = wf._round_up(h + 4, 128)
+    chunk = 8
+    _, _, _, d_pad = wf._plan(h, w, 4, 1, s, chunk)
+    d_t = wf._round_up(d_pad, 128)
+    wcp = wf._round_up(w, 128)
+    rng = np.random.RandomState(s * 10 + b)
+    imgs = rng.randint(0, 256, (b, h, w, 3)).astype(dt)
+
+    ref = np.asarray(wf._skew_packed(jnp.asarray(imgs), s, lf, d_pad,
+                                     interpret=True))  # lemma path, f32
+
+    x = jnp.pad(jnp.asarray(imgs), ((0, 0), (0, lf - h), (0, wcp - w), (0, 0)))
+    x = x.transpose(3, 0, 1, 2).reshape(3 * b, lf, wcp)
+    out = np.asarray(wf._skew_fullrow_call(3 * b, lf, d_t, s, wcp, dt,
+                                           "float32", True)(x))[:d_pad]
+
+    # Compare on valid positions only (col in range, real rows).
+    d_idx = np.arange(d_pad)[:, None]
+    y_loc = np.arange(lf)[None, :]
+    col = d_idx - s * y_loc
+    valid = (col >= 0) & (col < w) & (y_loc < h)
+    mask = np.broadcast_to(valid[:, None, :], ref.shape)
+    np.testing.assert_array_equal(out[mask], ref[mask])
