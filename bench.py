@@ -85,8 +85,10 @@ def main():
                          "device-sustained; wall clock for e2e"}
     errors = {}
 
-    def timed_pair(f1, fk, k):
-        """Median diff timing of jitted f1 vs fk (k executions)."""
+    def timed_pair(f1, fk, k, rounds=3):
+        """Median-of-``rounds`` differential timing of jitted f1 vs fk
+        (k executions): a single (tk - t1) diff is noise-degenerate
+        through the relay's per-dispatch jitter."""
         _ = np.asarray(f1())  # compile
         _ = np.asarray(fk())
 
@@ -98,8 +100,9 @@ def main():
                 ts.append(time.time() - t0)
             return sorted(ts)[n // 2]
 
-        t1, tk = med(f1), med(fk)
-        return max((tk - t1) / (k - 1), 1e-9)
+        diffs = [max((med(fk) - med(f1)) / (k - 1), 1e-9)
+                 for _ in range(rounds)]
+        return float(np.median(diffs))
 
     from dither_pie_tpu.core.thresholds import bayer_matrix, blue_noise_cached, \
         ign_thresholds
@@ -134,13 +137,9 @@ def main():
 
         # Long chain: the per-image latency (~0.03-0.3 ms) is far below the
         # relay's per-dispatch noise, so accumulate 64 executions (longer
-        # chains explode Mosaic compile time through the dev tunnel) and
-        # take the median-of-3 differential (noise makes single diffs
-        # degenerate). The two callables are built once so each repeat
-        # reuses the compiled programs.
-        f1, fk = single_many(1), single_many(64)
-        diffs = [timed_pair(f1, fk, 64) for _ in range(3)]
-        per1 = max(float(np.median(diffs)), 1e-9)
+        # chains explode Mosaic compile time through the dev tunnel);
+        # timed_pair medians 3 differential rounds.
+        per1 = timed_pair(single_many(1), single_many(64), 64)
         details["latency_512_bayer8x8_ms"] = round(per1 * 1000, 4)
         log(f"1: 512^2 bayer latency {per1*1e3:.3f} ms/image")
     except Exception as e:
@@ -223,13 +222,8 @@ def main():
             fb, fs = ordered_one(frames_big), ordered_one(frames_small)
             f1 = lambda: fs(frames_small, pal_c, screen)
             fk = lambda: fb(frames_big, pal_c, screen)
-            _ = np.asarray(f1()); _ = np.asarray(fk())
-            def med(f, n=5):
-                ts = []
-                for _ in range(n):
-                    t0 = time.time(); _ = np.asarray(f()); ts.append(time.time() - t0)
-                return sorted(ts)[n // 2]
-            return max((med(fk) - med(f1)) / (B_C - B_S), 1e-9)  # s/frame
+            # Batch-size differential, median of 3 rounds (s/frame).
+            return timed_pair(f1, fk, B_C - B_S + 1)
 
         per_bn = diff_batch(bn_screen)
         bn_gpix = mpix / per_bn / 1000.0
