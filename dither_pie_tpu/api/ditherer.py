@@ -166,6 +166,21 @@ def _prep(pixels: np.ndarray, palette_arr: np.ndarray, image_size: Tuple[int, in
     return img, pal
 
 
+def _ordered_batch_dispatch(images, pal, screen) -> np.ndarray:
+    """Batched ordered dither with the opt-in local auto-mesh
+    (DITHER_PIE_TPU_AUTO_MESH=1): frames shard over every local device,
+    each running the same fused kernel; falls through to single-device
+    dispatch otherwise. Bit-identical either way."""
+    from dither_pie_tpu.parallel.auto import maybe_sharded_ordered
+
+    out = maybe_sharded_ordered(np.asarray(images), jnp.asarray(pal),
+                                jnp.asarray(screen))
+    if out is None:
+        out = _ordered.dispatch_ordered_batch(
+            jnp.asarray(images), jnp.asarray(pal), jnp.asarray(screen))
+    return np.asarray(out).astype(np.float32)
+
+
 class NoDitherStrategy(BaseDitherStrategy):
     """Nearest palette color per pixel (device argmin over exact distances)."""
 
@@ -209,9 +224,7 @@ class MatrixDitherStrategy(BaseDitherStrategy):
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
-        out = _ordered.dispatch_ordered_batch(
-            jnp.asarray(images), jnp.asarray(pal), screen)
-        return np.asarray(out).astype(np.float32)
+        return _ordered_batch_dispatch(images, pal, screen)
 
 
 class BayerDitherStrategy(MatrixDitherStrategy):
@@ -313,9 +326,7 @@ class InterleavedGradientNoiseDitherStrategy(BaseDitherStrategy):
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
-        out = _ordered.dispatch_ordered_batch(
-            jnp.asarray(images), jnp.asarray(pal), screen)
-        return np.asarray(out).astype(np.float32)
+        return _ordered_batch_dispatch(images, pal, screen)
 
     def get_current_parameters(self) -> Dict[str, Any]:
         return {"scale": self.scale, "seed": self.seed}

@@ -38,6 +38,59 @@ def _cached_ed_step(n_dev: int, h: int, w: int, p: int, batch_per_chip: int,
                                 variant=variant)
 
 
+@functools.lru_cache(maxsize=8)
+def _cached_ordered_step(n_dev: int):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dither_pie_tpu.parallel.mesh import make_mesh
+    from dither_pie_tpu.parallel.sharding import _SM_CHECK_KW, shard_map
+
+    mesh = make_mesh(shape=(n_dev,), axis_names=("data",),
+                     devices=jax.devices()[:n_dev])
+
+    def local(frames, palette, screen):
+        from dither_pie_tpu.ops.ordered import dispatch_ordered_batch
+
+        return dispatch_ordered_batch(frames, palette, screen)
+
+    step = jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P("data", None, None, None), P(), P()),
+        out_specs=P("data", None, None, None),
+        # pallas_call out_shapes carry no varying-mesh-axis metadata.
+        **{_SM_CHECK_KW: False}))
+
+    def run(frames, palette, screen):
+        import jax
+        import jax.numpy as jnp
+
+        fr = jax.device_put(jnp.asarray(frames),
+                            NamedSharding(mesh, P("data", None, None, None)))
+        return step(fr, palette, screen)
+
+    return run
+
+
+def maybe_sharded_ordered(images, palette, screen) -> Optional["object"]:
+    """Shard an ordered-dither batch over the local mesh, or None when
+    auto-mesh is off / inapplicable."""
+    if not auto_mesh_enabled():
+        return None
+    import jax
+
+    try:
+        n_dev = len(jax.devices())
+    except Exception:
+        return None
+    b = images.shape[0]
+    if n_dev < 2 or b % n_dev != 0:
+        # Ordered batches keep exact shapes (one frame in = one frame
+        # out); only shard when the batch divides evenly.
+        return None
+    return _cached_ordered_step(n_dev)(images, palette, screen)
+
+
 def maybe_sharded_ed(images: np.ndarray, palette: np.ndarray,
                      variant: str) -> Optional[np.ndarray]:
     """Run a (B, H, W, 3) batch through the data-parallel mesh, or return

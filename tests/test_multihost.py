@@ -189,3 +189,20 @@ def test_auto_mesh_ed_batch_matches_single(monkeypatch):
     monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
     sharded = d.apply_dithering_batch(frames)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_auto_mesh_ordered_batch_matches_single(monkeypatch):
+    """Auto-mesh ordered dither over the CPU-8 mesh is bit-identical; a
+    non-divisible batch falls through to the single-device path."""
+    frames = np.random.RandomState(6).randint(
+        0, 256, (16, 24, 32, 3), dtype=np.uint8)
+    pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40), (30, 90, 200)]
+    d = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode.BAYER,
+                          palette=list(pal), dither_params={"size": "4x4"})
+    single = d.apply_dithering_batch(frames)
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
+    sharded = d.apply_dithering_batch(frames)
+    np.testing.assert_array_equal(sharded, single)
+    # non-divisible batch: falls through (still correct)
+    odd = d.apply_dithering_batch(frames[:10])
+    np.testing.assert_array_equal(odd, single[:10])
