@@ -137,6 +137,16 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
 
     clamp_before = mode in ("fixed", "ostromoukhov", "hybrid")
     has_aux_stream = mode in ("perceptual", "adaptive")
+    # Per-entry slot buffers folded from the image value in contributor
+    # order — the golden engine accumulates error IN PLACE into the image,
+    # so the exact semantics are the left fold (((img + c1) + c2) + ...)
+    # over contributor-scan order; see _build_kernel_packed's docstring.
+    if mode == "ostromoukhov":
+        offsets = [(1, 0), (-1, 1), (0, 1)]  # weights are per-pixel (LUT)
+    else:
+        offsets = [(dx, dy) for dx, dy, _ in entries]
+    consume_order = sorted(range(len(offsets)),
+                           key=lambda i: (-offsets[i][1], -offsets[i][0]))
 
     def kernel(dims_ref, img_ref, pal_ref, aux_ref, idx_ref, err_buf):
         g = pl.program_id(0)
@@ -146,7 +156,8 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
         # Scratch is uninitialized; clear every slot on the first iteration.
         @pl.when(g == 0)
         def _():
-            err_buf[...] = jnp.zeros((n_slots, 3, hp), jnp.float32)
+            err_buf[...] = jnp.zeros(
+                (len(offsets), n_slots, 3, hp), jnp.float32)
 
         pal = pal_ref[:]  # (pp, 3) — padded entries hold +1e6 sentinels
         y_iota = jax.lax.broadcasted_iota(jnp.int32, (1, hp), 1)
@@ -160,8 +171,12 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
             active_f = ((col >= 0) & (col < w_real)
                         & (y_local < h_real)).astype(jnp.float32)
 
-            # bf16 image streams cast back to f32 exactly (integer values).
-            cur = img_ref[j].astype(jnp.float32) + err_buf[slot]  # (3, hp)
+            # Left fold from the image value in contributor-scan order
+            # (golden in-place accumulation semantics). bf16 image streams
+            # cast back to f32 exactly (integer values).
+            cur = img_ref[j].astype(jnp.float32)  # (3, hp)
+            for ei in consume_order:
+                cur = cur + err_buf[ei, slot]
             if clamp_before:
                 cur = jnp.clip(cur, 0.0, 255.0)
 
@@ -192,8 +207,7 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
             err = (cur - chosen) * active_f
             idx_ref[j, :] = idx[0]
 
-            # Consume (zero) the current slot before pushing future error.
-            err_buf[slot] = jnp.zeros((3, hp), jnp.float32)
+
 
             if mode == "perceptual" or mode == "adaptive":
                 err = err * aux_ref[j]  # (1, hp) sensitivity / gate
@@ -207,11 +221,13 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
                 err = (jnp.float32(lum_factor) * err_lum
                        + jnp.float32(col_factor) * (err - err_lum))
 
-            def push(delta: int, dy: int, contrib):
+            def push(ei: int, dx: int, dy: int, contrib):
                 if dy:
                     contrib = jnp.roll(contrib, dy, axis=1)
                     contrib = jnp.where(y_iota >= dy, contrib, 0.0)
-                err_buf[(j + delta) % n_slots] += contrib  # static index
+                # Overwrite-store: each (entry, slot) is written once per
+                # ring cycle and consumed before the next write.
+                err_buf[ei, (j + dx + s * dy) % n_slots] = contrib
 
             if mode == "ostromoukhov":
                 # Luminance with the golden engine's association
@@ -232,12 +248,12 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
                 w0 = jnp.sum(table[:, 0:1] * l_onehot, axis=0, keepdims=True)
                 w1 = jnp.sum(table[:, 1:2] * l_onehot, axis=0, keepdims=True)
                 w2 = jnp.sum(table[:, 2:3] * l_onehot, axis=0, keepdims=True)
-                push(1, 0, err * w0)       # (x+1, y)      delta = 1
-                push(s - 1, 1, err * w1)   # (x-1, y+1)    delta = s-1
-                push(s, 1, err * w2)       # (x,   y+1)    delta = s
+                push(0, 1, 0, err * w0)    # (x+1, y)
+                push(1, -1, 1, err * w1)   # (x-1, y+1)
+                push(2, 0, 1, err * w2)    # (x,   y+1)
             else:
-                for dx, dy, wq in entries:
-                    push(dx + s * dy, dy, err * wq)
+                for ei, (dx, dy, wq) in enumerate(entries):
+                    push(ei, dx, dy, err * wq)
 
     n_chunks = d_pad // chunk
     return pl.pallas_call(
@@ -253,10 +269,15 @@ def _build_kernel(mode: str, variant: str, s: int, n_slots: int, d_pad: int,
         ],
         out_specs=pl.BlockSpec((chunk, hp), lambda g: (g, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d_pad, hp), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_slots, 3, hp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((len(offsets), n_slots, 3, hp),
+                                   jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # The ostromoukhov one-hot temps are (256, hp) f32 — at 720p
+            # batch 8 (hp=6144) a few live copies exceed the default 16 MB
+            # scoped-vmem budget.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )
 
@@ -407,6 +428,16 @@ def _skew(images: jnp.ndarray, s: int, h_frame: int, d_pad: int,
 # packed _unskew_idx_packed / _unskew_select_colors serve both layouts.)
 
 
+def _stream_dtype(images, interpret: bool) -> str:
+    """Skewed-stream dtype: bf16 only when the input is uint8 (bf16 is
+    exact for 0..255 integers; arbitrary float pixels through the raw
+    strategy API must not be rounded — caught by a hardware identity
+    sweep with non-integer float frames)."""
+    if interpret:
+        return "float32"
+    return "bfloat16" if jnp.asarray(images).dtype == jnp.uint8 else "float32"
+
+
 def _pad_palette(pal: np.ndarray, pp: int) -> np.ndarray:
     """(P, 3) -> (pp, 3) with far-away sentinel colors in the padding."""
     out = np.full((pp, 3), 1.0e6, dtype=np.float32)
@@ -479,7 +510,7 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
 
     img_skew = _skew(jnp.asarray(images), s, h_frame, d_pad,
                      interpret=bool(interpret),
-                     out_dtype="float32" if interpret else "bfloat16")
+                     out_dtype=_stream_dtype(images, bool(interpret)))
     pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
 
     if mode in ("perceptual", "adaptive"):
@@ -582,7 +613,8 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
             pal_packed = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
             sk = _skew_packed(frames, s, lf, d_pad,
                               interpret=bool(interpret),
-                              out_dtype="float32" if interpret else "bfloat16")
+                              out_dtype=_stream_dtype(frames,
+                                                      bool(interpret)))
             dims = jnp.array([w, h], jnp.int32)
             aux = jnp.zeros((1, 8), jnp.float32)
             idx_skew = call(dims, sk, pal_packed, aux)
@@ -603,7 +635,7 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
             [palette.astype(jnp.float32),
              jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
         sk = _skew(frames, s, h_frame, d_pad, interpret=bool(interpret),
-                   out_dtype="float32" if interpret else "bfloat16")
+                   out_dtype=_stream_dtype(frames, bool(interpret)))
         dims = jnp.array([w, h], jnp.int32)
         if mode == "ostromoukhov":
             aux = jnp.asarray(_ostro_weight_table())
@@ -634,11 +666,28 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                          d_pad: int, chunk: int, nb: int, lf: int, pp: int,
                          lum_factor: float = 1.0, col_factor: float = 0.2,
                          interpret: bool = False):
-    """nb = batch, lf = lane extent (h_frame), rows R = 3*nb channel-major."""
+    """nb = batch, lf = lane extent (h_frame), rows R = 3*nb channel-major.
+
+    Error-accumulation ORDER is part of the bit-identity contract: the
+    row-major golden scan accumulates error IN PLACE into the image
+    array, so a target's working value is the left fold
+    ``(((img + c1) + c2) + c3) ...`` over its incoming contributions in
+    contributor-scan order (earlier rows first, then x ascending). f32
+    addition is non-associative, so a single accumulated error buffer
+    (``img + (c1 + c2 + ...)``) diverges on large content — caught by a
+    720p u8 hardware identity sweep (stucki 0.943). The kernel therefore
+    keeps PER-ENTRY slot buffers (overwrite-stores, no zeroing needed:
+    each (entry, slot) is written exactly once per ring cycle and read
+    before the next write) and folds them from the image value in
+    contributor order at consume time."""
     entries = _fixed_entries(variant) if mode == "fixed" else _FS_ENTRIES
     clamp_before = mode in ("fixed", "hybrid")
     has_aux_stream = mode in ("perceptual", "adaptive")
     R = 3 * nb
+    # Contributor-scan order: earlier rows first (dy desc), then x asc
+    # (dx desc).
+    consume_order = sorted(range(len(entries)),
+                           key=lambda i: (-entries[i][1], -entries[i][0]))
 
     def kernel(dims_ref, img_ref, pal_ref, aux_ref, idx_ref, err_buf):
         g = pl.program_id(0)
@@ -647,7 +696,8 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
 
         @pl.when(g == 0)
         def _():
-            err_buf[...] = jnp.zeros((n_slots, R, lf), jnp.float32)
+            err_buf[...] = jnp.zeros(
+                (len(entries), n_slots, R, lf), jnp.float32)
 
         y_lane = jax.lax.broadcasted_iota(jnp.int32, (1, lf), 1)
         base = g * chunk
@@ -659,8 +709,12 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             active = ((col >= 0) & (col < w_real) & (y_lane < h_real))
             active_f = active.astype(jnp.float32)  # (1, lf), same for all rows
 
+            # Left fold from the image value, in contributor-scan order
+            # (the golden engine's in-place accumulation semantics).
             # bf16 image streams cast back to f32 exactly (integer values).
-            cur = img_ref[j].astype(jnp.float32) + err_buf[slot]  # (R, lf)
+            cur = img_ref[j].astype(jnp.float32)  # (R, lf)
+            for ei in consume_order:
+                cur = cur + err_buf[ei, slot]
             if clamp_before:
                 cur = jnp.clip(cur, 0.0, 255.0)
 
@@ -685,8 +739,6 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             err = (cur - chosen) * active_f  # (R, lf)
             idx_ref[j] = idx
 
-            err_buf[slot] = jnp.zeros((R, lf), jnp.float32)
-
             if has_aux_stream:
                 a = aux_ref[j]  # (nb, lf)
                 err = err * jnp.concatenate([a, a, a], axis=0)
@@ -700,12 +752,12 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                 err = (jnp.float32(lum_factor) * err_lum
                        + jnp.float32(col_factor) * (err - err_lum))
 
-            for dx, dy, wq in entries:
+            for ei, (dx, dy, wq) in enumerate(entries):
                 contrib = err * wq
                 if dy:
                     contrib = jnp.roll(contrib, dy, axis=1)
                     contrib = jnp.where(y_lane >= dy, contrib, 0.0)
-                err_buf[(j + dx + s * dy) % n_slots] += contrib
+                err_buf[ei, (j + dx + s * dy) % n_slots] = contrib
 
     n_chunks = d_pad // chunk
     return pl.pallas_call(
@@ -722,10 +774,14 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
         out_specs=pl.BlockSpec((chunk, nb, lf), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d_pad, nb, lf), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((n_slots, R, lf), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((len(entries), n_slots, R, lf),
+                                   jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # Headroom for large batches (error scratch + palette columns
+            # scale with 3B rows); the chip has 128 MB of VMEM.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )
 
@@ -1201,7 +1257,7 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
 
     img_skew = _skew_packed(jnp.asarray(images), s, lf, d_pad,
                              interpret=bool(interpret),
-                             out_dtype="float32" if interpret else "bfloat16")
+                             out_dtype=_stream_dtype(images, bool(interpret)))
     pal_dev = jnp.asarray(_pad_palette_packed(palette.astype(np.float32), pp, b))
     if mode in ("perceptual", "adaptive"):
         # (B, H, W) aux -> (d_pad, B, lf) skewed
