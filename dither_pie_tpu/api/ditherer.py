@@ -789,7 +789,8 @@ class WaveletDitherStrategy(BaseDitherStrategy):
         fn = _wavelet_batch_fn(self.wavelet, self.subband_quant)
         out = fn(jnp.asarray(images), jnp.asarray(pal),
                  jnp.asarray(noises), jnp.asarray(thr))
-        return np.asarray(out).astype(images.dtype)
+        # float32 like every other dither_batch (callers quantize).
+        return np.asarray(out, dtype=np.float32)
 
     def dither(self, pixels, palette_arr, image_size):
         h, w = image_size

@@ -34,6 +34,25 @@ from dither_pie_tpu.models.layers import (
     upsample_nearest_2x,
 )
 
+def _parity_precision(fn):
+    """Exported building blocks default to f32 matmul precision (the
+    torch-parity contract) when called OUTSIDE any
+    ``jax.default_matmul_precision`` context — otherwise a direct library
+    consumer would silently get the backend default (bf16 matmuls on TPU).
+    An enclosing context (e.g. the bf16 fast mode set by c2pgen_forward)
+    still takes precedence."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        cur = jax.config.jax_default_matmul_precision
+        with jax.default_matmul_precision(cur if cur is not None
+                                          else "float32"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
 # torchvision vgg19.features conv indices up to conv4_1, with pool positions.
 _VGG_LAYOUT = [
     ("conv", 0), ("relu", None), ("conv", 2), ("relu", None), ("pool", None),
@@ -45,6 +64,7 @@ _VGG_LAYOUT = [
 _VGG_TAPS = {0: "conv1_1", 5: "conv2_1", 10: "conv3_1", 19: "conv4_1"}
 
 
+@_parity_precision
 def vgg_features(p: Params, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Taps at conv1_1 / conv2_1 / conv3_1 / conv4_1 (NHWC).
 
@@ -70,6 +90,7 @@ def vgg_features(p: Params, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return taps
 
 
+@_parity_precision
 def rgb_encoder(p: Params, key: str, x: jnp.ndarray) -> jnp.ndarray:
     """7x7 conv + 2 stride-2 downs + 4 resblocks, instance norm, reflect."""
     x = conv_block(p, f"{key}.model.0", x, 1, 3, "in", "relu", "reflect")
@@ -78,6 +99,7 @@ def rgb_encoder(p: Params, key: str, x: jnp.ndarray) -> jnp.ndarray:
     return res_blocks(p, f"{key}.model.3", x, 4, "in", "relu", "reflect")
 
 
+@_parity_precision
 def pixel_block_encoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """VGG-pyramid style encoder -> (B, 256) style code."""
     taps = vgg_features(p, x)
@@ -95,6 +117,7 @@ def pixel_block_encoder(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(x.shape[0], -1)  # (B, 256)
 
 
+@_parity_precision
 def style_mlp(p: Params, code: jnp.ndarray) -> jnp.ndarray:
     """3 relu linear blocks + final affine -> (B, 2048) adain params."""
     x = code
@@ -103,6 +126,7 @@ def style_mlp(p: Params, code: jnp.ndarray) -> jnp.ndarray:
     return linear_block(p, "MLP.model.3", x, "none")
 
 
+@_parity_precision
 def rgb_decoder(p: Params, key: str, x: jnp.ndarray,
                 code: jnp.ndarray) -> jnp.ndarray:
     """8 modulated convs in 4 residual pairs (with the reference's

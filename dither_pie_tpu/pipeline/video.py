@@ -274,6 +274,59 @@ class VideoProcessor:
             return False
 
 
+    # A concat of even a long video is minutes; an hour-old lock means the
+    # holder is gone (crashed or SIGKILLed mid-concat).
+    CONCAT_LOCK_STALE_S = 3600.0
+
+    @classmethod
+    def _claim_concat_lock(cls, lock: str) -> bool:
+        """Atomically claim ``lock``, reclaiming stale locks.
+
+        The lock file records ``pid hostname``. It is considered dead (and
+        reclaimed) when the recorded pid no longer exists on THIS host, or
+        when the file is older than CONCAT_LOCK_STALE_S on any host. Returns
+        True when this process holds the lock."""
+        import os
+        import socket
+        import time
+
+        for _ in range(2):  # initial try + one retry after reclaiming
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    f.write(f"{os.getpid()} {socket.gethostname()}")
+                return True
+            except FileExistsError:
+                pass
+            try:
+                stat = os.stat(lock)
+                holder_pid, holder_host = None, None
+                with open(lock) as f:
+                    parts = f.read().split()
+                    if len(parts) >= 2:
+                        holder_pid, holder_host = int(parts[0]), parts[1]
+            except (OSError, ValueError):
+                continue  # holder finished (file gone) or mid-write: retry
+            stale = (time.time() - stat.st_mtime) > cls.CONCAT_LOCK_STALE_S
+            dead_local = False
+            if holder_pid is not None and holder_host == socket.gethostname():
+                try:
+                    os.kill(holder_pid, 0)
+                except ProcessLookupError:
+                    dead_local = True
+                except OSError:
+                    pass
+            if stale or dead_local:
+                logger.warning(f"Reclaiming dead concat lock {lock} "
+                               f"(holder pid={holder_pid} host={holder_host})")
+                try:
+                    os.remove(lock)
+                except OSError:
+                    pass
+                continue
+            return False
+        return False
+
     @staticmethod
     def _settings_fingerprint(ditherer: ImageDitherer, pixelize_func,
                               final_resize_multiplier) -> str:
@@ -283,13 +336,28 @@ class VideoProcessor:
         import hashlib
         import json as _json
 
+        def norm(v):
+            # Full-value normalization: numpy arrays stringify with '...'
+            # truncation above 1000 elements under default=str, which would
+            # let two different large custom settings (e.g. threshold
+            # matrices) collide to one fingerprint.
+            if isinstance(v, np.ndarray):
+                return v.tolist()
+            if isinstance(v, (np.integer, np.floating, np.bool_)):
+                return v.item()
+            if isinstance(v, dict):
+                return {str(k): norm(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return [norm(x) for x in v]
+            return v
+
         payload = {
             "mode": getattr(ditherer.dither_mode, "value",
                             str(ditherer.dither_mode)),
             "num_colors": ditherer.num_colors,
             "use_gamma": ditherer.use_gamma,
-            "params": ditherer.dither_params,
-            "palette": ditherer.palette,
+            "params": norm(ditherer.dither_params),
+            "palette": norm(ditherer.palette),
             "pixelize": list(pixelize_func) if pixelize_func else None,
             "resize": final_resize_multiplier,
         }
@@ -411,12 +479,12 @@ class VideoProcessor:
                         1.0, "Host share complete (concat pending)")
                     return True
                 # Claim the concat atomically (two hosts can finish at the
-                # same time); the loser reports success-pending.
+                # same time); the loser reports success-pending. The lock is
+                # reclaimable: a holder that died mid-concat (dead local pid,
+                # or a lock older than the stale age from any host) would
+                # otherwise block every future rerun forever.
                 lock = output_path + ".concat.lock"
-                try:
-                    os.close(os.open(lock, os.O_CREAT | os.O_EXCL
-                                     | os.O_WRONLY))
-                except FileExistsError:
+                if not self._claim_concat_lock(lock):
                     logger.info("Another host is concatenating")
                     self._report_progress(
                         1.0, "Host share complete (concat in progress)")
