@@ -94,11 +94,25 @@ def _ostro_weight_table() -> np.ndarray:
 def _chunk_for(n_slots: int) -> int:
     """Steps per grid iteration: a multiple of n_slots (so every chunk
     starts at slot 0 and ALL slot indices are compile-time constants),
-    at least 8 to amortize grid/DMA overhead."""
+    at least 8 to amortize grid/DMA overhead — chosen to minimize the
+    d_pad bucket granularity lcm(256, chunk) first and the unroll size
+    second. (n_slots=3 — ostromoukhov, sierra_lite — would naively get
+    chunk 9 -> 2304-step buckets: ~50% dead scan steps at 720p.)"""
     c = n_slots
     while c < 8:
         c += n_slots
-    return c
+    cands = range(c, 49, n_slots)
+    return min(cands, key=lambda x: (256 * x // math.gcd(256, x), x))
+
+
+@functools.lru_cache(maxsize=1)
+def _ostro_weight_table_packed() -> np.ndarray:
+    """(768, 1) f32: row 3*k + e holds the Ostromoukhov weight for
+    luminance k, entry e — the k-major layout the packed kernel's
+    halving-tree lookup walks (the same exact pre-divided f32 values as
+    :func:`_ostro_weight_table`; selection of exact constants is exact)."""
+    return np.ascontiguousarray(
+        _ostro_weight_table().reshape(768)[:, None])
 
 
 def _chunk_for_v1(n_slots: int) -> int:
@@ -474,20 +488,52 @@ def _compiled(mode: str, variant: str, h: int, w: int, p: int, batch: int,
     return call, s, h_frame, hp, pp, d_pad
 
 
+def _n_entries(mode: str, variant: str) -> int:
+    if mode == "ostromoukhov":
+        return 3
+    if mode == "fixed":
+        return len(_fixed_entries(variant))
+    return len(_FS_ENTRIES)
+
+
+def _max_packed_batch(mode: str, variant: str, h: int, w: int, p: int) -> int:
+    """Largest batch whose per-entry error scratch fits the packed kernel's
+    VMEM budget (frames are independent, so callers split oversized batches
+    exactly instead of failing at compile/runtime)."""
+    s, n_slots = _scan_params(mode, variant)
+    lf, _, _, _ = _plan(h, w, p, 1, s, _chunk_for(n_slots))
+    per_frame = _n_entries(mode, variant) * n_slots * 3 * lf * 4
+    budget = 64 * 1024 * 1024  # of the 100 MB scoped-vmem limit; the rest
+    #                            covers streams, palette, and search temps
+    return max(8, budget // per_frame)
+
+
 def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
          aux: Optional[np.ndarray] = None, lum_factor: float = 1.0,
          col_factor: float = 0.2, interpret: Optional[bool] = None) -> np.ndarray:
     """images (B, H, W, 3) u8 or f32; aux (B, H, W) f32 or None. Returns
     (B, H, W, 3) uint8 palette colors (u8 end-to-end: f32 NHWC materializes
     with 42x tile padding on TPU)."""
-    if mode != "ostromoukhov" and palette.shape[0] <= 64:
-        # Packed-layout kernel: ~2x faster (full sublane tiles) and verified
-        # bit-identical to the native golden engine on hardware. Batches
-        # below 8 are padded up (Mosaic rejects sub-tile sublane register
-        # casts below 8 rows, and the padded lanes are free); v1 remains for
-        # ostromoukhov (one-hot LUT wants lanes) and large palettes (the
-        # packed running-min loop unrolls per entry).
-        b = images.shape[0]
+    if palette.shape[0] <= 256:
+        # Packed-layout kernel: full sublane tiles, verified bit-identical
+        # to the native golden engine on hardware. Covers every mode
+        # (ostromoukhov via the halving-tree LUT) and palettes to 256
+        # colors (v1-form lane search above 64). Batches below 8 are
+        # padded up (Mosaic rejects sub-tile sublane register casts below
+        # 8 rows, and the padded lanes are free); oversized batches are
+        # split so the per-entry error scratch stays inside the VMEM
+        # budget. v1 remains only for >256-color palettes.
+        b, h, w, _ = images.shape
+        nb_max = _max_packed_batch(mode, variant, h, w, palette.shape[0])
+        if b > nb_max:
+            outs = [
+                _run(mode, images[i:i + nb_max], palette, variant=variant,
+                     aux=None if aux is None else aux[i:i + nb_max],
+                     lum_factor=lum_factor, col_factor=col_factor,
+                     interpret=interpret)
+                for i in range(0, b, nb_max)
+            ]
+            return np.concatenate(outs, axis=0)
         if b < 8:
             pad = np.concatenate(
                 [images, np.repeat(images[-1:], 8 - b, axis=0)], axis=0)
@@ -585,15 +631,24 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
     data-parallel error diffusion across a device mesh (each chip scans its
     own frames; no cross-chip collectives are needed in steady state).
 
-    Dispatches to the packed v2 kernel (batch in sublanes, running-min
-    palette search — the hardware-bit-verified path) with the same
-    eligibility rule as ``_run``: everything except ostromoukhov and >64
-    color palettes, with sub-8 batches padded up (padded sublanes are free).
+    Dispatches to the packed v2 kernel (batch in sublanes; running-min
+    palette search to 64 colors, v1-form lane search to 256; ostromoukhov
+    via the halving-tree LUT — the hardware-bit-verified paths) with the
+    same eligibility rule as ``_run``: sub-8 batches padded up (padded
+    sublanes are free), v1 only for >256-color palettes. Raises when the
+    batch exceeds the packed VMEM budget (callers under shard_map own the
+    batch size; split it instead).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if mode != "ostromoukhov" and p <= 64:
+    if p <= 256:
+        nb_max = _max_packed_batch(mode, variant, h, w, p)
+        if batch > nb_max:
+            raise ValueError(
+                f"batch {batch} exceeds the packed wavefront VMEM budget "
+                f"for {h}x{w}/{mode or variant} (max {nb_max}); split the "
+                f"batch")
         s, n_slots = _scan_params(mode, variant)
         chunk = _chunk_for(n_slots)
         lf, _, pp, d_pad = _plan(h, w, p, 1, s, chunk)
@@ -610,22 +665,28 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
             cols = jnp.concatenate(
                 [palette.astype(jnp.float32),
                  jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
-            pal_packed = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
+            if pp > 64:
+                pal_dev = cols  # lane-search kernels take (pp, 3) columns
+            else:
+                pal_dev = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
             sk = _skew_packed(frames, s, lf, d_pad,
                               interpret=bool(interpret),
                               out_dtype=_stream_dtype(frames,
                                                       bool(interpret)))
             dims = jnp.array([w, h], jnp.int32)
-            aux = jnp.zeros((1, 8), jnp.float32)
-            idx_skew = call(dims, sk, pal_packed, aux)
+            if mode == "ostromoukhov":
+                aux = jnp.asarray(_ostro_weight_table_packed())
+            else:
+                aux = jnp.zeros((1, 8), jnp.float32)
+            idx_skew = call(dims, sk, pal_dev, aux)
             out = _unskew_select_colors(idx_skew, palette.astype(jnp.float32),
                                         s, lf, h, w, bool(interpret))
             return out[:batch]
 
         return fn
 
-    # v1 fallback: ostromoukhov (luminance LUT wants the one-hot lane form)
-    # and large palettes (the packed running-min loop unrolls per entry).
+    # v1 fallback: >256-color palettes only (per-channel epilogue gathers;
+    # the lane-search unroll would balloon past 256 entries).
     call, s, h_frame, hp, pp, d_pad = _compiled(
         mode, variant, h, w, p, batch, float(lum_factor), float(col_factor),
         bool(interpret))
@@ -656,9 +717,12 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
 # v2 packs state as (3B, h_frame) — rows are channel-major (c*B + b), lanes
 # are the frame's row index — so every elementwise op runs on full (8, 128)
 # tiles (~2.5x VPU utilization at B >= 8) and row-shift rolls stay a pure
-# lane shift. The palette search becomes a running min (fused-ordered style)
-# instead of argmin + one-hot. Ostromoukhov keeps the v1 kernel (its
-# luminance LUT wants the one-hot form).
+# lane shift. The palette search is a running min (fused-ordered style) up
+# to 64 colors and the v1-form per-batch-row lane search to 256 colors;
+# Ostromoukhov's per-pixel weights come from a halving-tree walk of the
+# k-major LUT (8 bit-selected slice/roll rounds — cheaper than the v1
+# one-hot and exact: it only ever SELECTS the same pre-divided f32
+# constants).
 # ---------------------------------------------------------------------------
 
 
@@ -680,14 +744,25 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
     each (entry, slot) is written exactly once per ring cycle and read
     before the next write) and folds them from the image value in
     contributor order at consume time."""
-    entries = _fixed_entries(variant) if mode == "fixed" else _FS_ENTRIES
-    clamp_before = mode in ("fixed", "hybrid")
+    if mode == "ostromoukhov":
+        entries = None  # per-pixel LUT weights (halving-tree lookup below)
+        offsets = [(1, 0), (-1, 1), (0, 1)]
+    else:
+        entries = _fixed_entries(variant) if mode == "fixed" else _FS_ENTRIES
+        offsets = [(dx, dy) for dx, dy, _ in entries]
+    clamp_before = mode in ("fixed", "ostromoukhov", "hybrid")
     has_aux_stream = mode in ("perceptual", "adaptive")
+    # Large palettes use the v1-form lane search (a (pp, lf) distance tile
+    # per batch row): the running-min loop's per-entry unroll would balloon
+    # the Mosaic program (pp * ~12 tile-ops * chunk), while the lane form
+    # is ~25 LARGE tile-ops per row — and it replicates the bit-verified v1
+    # op sequence exactly.
+    lane_search = pp > 64
     R = 3 * nb
     # Contributor-scan order: earlier rows first (dy desc), then x asc
     # (dx desc).
-    consume_order = sorted(range(len(entries)),
-                           key=lambda i: (-entries[i][1], -entries[i][0]))
+    consume_order = sorted(range(len(offsets)),
+                           key=lambda i: (-offsets[i][1], -offsets[i][0]))
 
     def kernel(dims_ref, img_ref, pal_ref, aux_ref, idx_ref, err_buf):
         g = pl.program_id(0)
@@ -697,7 +772,7 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
         @pl.when(g == 0)
         def _():
             err_buf[...] = jnp.zeros(
-                (len(entries), n_slots, R, lf), jnp.float32)
+                (len(offsets), n_slots, R, lf), jnp.float32)
 
         y_lane = jax.lax.broadcasted_iota(jnp.int32, (1, lf), 1)
         base = g * chunk
@@ -718,23 +793,51 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             if clamp_before:
                 cur = jnp.clip(cur, 0.0, 255.0)
 
-            # Running-min palette search on full tiles.
-            d1 = jnp.full((nb, lf), jnp.float32(1e30))
-            idx = jnp.zeros((nb, lf), jnp.int32)
-            chosen = jnp.zeros((R, lf), jnp.float32)
-            for p in range(pp):
-                pc = pal_ref[:, p:p + 1]  # (R, 1) broadcast over lanes
-                diff = cur - pc
-                sq = diff * diff
-                dsts = sq[0:nb] + sq[nb:2 * nb] + sq[2 * nb:3 * nb]  # (nb, lf)
-                m = dsts < d1
-                d1 = jnp.where(m, dsts, d1)
-                idx = jnp.where(m, p, idx)
-                # Exact 0/1 float blend (Mosaic rejects bool concats on
-                # sub-tile sublane counts; x*1+y*0 is exact for finite x,y).
-                mf = m.astype(jnp.float32)
-                m3 = jnp.concatenate([mf, mf, mf], axis=0)  # (R, lf)
-                chosen = chosen + m3 * (jnp.broadcast_to(pc, (R, lf)) - chosen)
+            if lane_search:
+                # v1-form search per batch row: (pp, lf) squared distances,
+                # first-wins argmin, one-hot chosen — the same op sequence
+                # (incl. the max(sq, 0) FMA guard) as _build_kernel, so the
+                # numerics match the golden engine bit-for-bit.
+                p_iota = jax.lax.broadcasted_iota(jnp.int32, (pp, lf), 0)
+                idx_rows = []
+                chosen_rows = [[], [], []]
+                for b in range(nb):
+                    d2 = jnp.zeros((pp, lf), jnp.float32)
+                    for c in range(3):
+                        diff = (pal_ref[:, c:c + 1]
+                                - cur[c * nb + b:c * nb + b + 1, :])
+                        d2 = d2 + jnp.maximum(diff * diff, 0.0)
+                    dmin = jnp.min(d2, axis=0, keepdims=True)
+                    idxb = jnp.min(jnp.where(d2 == dmin, p_iota, pp),
+                                   axis=0, keepdims=True).astype(jnp.int32)
+                    onehot = (p_iota == idxb).astype(jnp.float32)
+                    for c in range(3):
+                        chosen_rows[c].append(
+                            jnp.sum(pal_ref[:, c:c + 1] * onehot,
+                                    axis=0, keepdims=True))
+                    idx_rows.append(idxb)
+                idx = jnp.concatenate(idx_rows, axis=0)  # (nb, lf)
+                chosen = jnp.concatenate(
+                    chosen_rows[0] + chosen_rows[1] + chosen_rows[2],
+                    axis=0)  # (R, lf) channel-major
+            else:
+                # Running-min palette search on full tiles.
+                d1 = jnp.full((nb, lf), jnp.float32(1e30))
+                idx = jnp.zeros((nb, lf), jnp.int32)
+                chosen = jnp.zeros((R, lf), jnp.float32)
+                for p in range(pp):
+                    pc = pal_ref[:, p:p + 1]  # (R, 1) broadcast over lanes
+                    diff = cur - pc
+                    sq = diff * diff
+                    dsts = sq[0:nb] + sq[nb:2 * nb] + sq[2 * nb:3 * nb]  # (nb, lf)
+                    m = dsts < d1
+                    d1 = jnp.where(m, dsts, d1)
+                    idx = jnp.where(m, p, idx)
+                    # Exact 0/1 float blend (Mosaic rejects bool concats on
+                    # sub-tile sublane counts; x*1+y*0 is exact for finite x,y).
+                    mf = m.astype(jnp.float32)
+                    m3 = jnp.concatenate([mf, mf, mf], axis=0)  # (R, lf)
+                    chosen = chosen + m3 * (jnp.broadcast_to(pc, (R, lf)) - chosen)
 
             err = (cur - chosen) * active_f  # (R, lf)
             idx_ref[j] = idx
@@ -752,12 +855,50 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                 err = (jnp.float32(lum_factor) * err_lum
                        + jnp.float32(col_factor) * (err - err_lum))
 
-            for ei, (dx, dy, wq) in enumerate(entries):
-                contrib = err * wq
-                if dy:
-                    contrib = jnp.roll(contrib, dy, axis=1)
-                    contrib = jnp.where(y_lane >= dy, contrib, 0.0)
-                err_buf[ei, (j + dx + s * dy) % n_slots] = contrib
+            if mode == "ostromoukhov":
+                # Luminance of the CLAMPED working pixel, golden-engine
+                # association: (0.299r + 0.587g) + 0.114b, max guards
+                # blocking FMA contraction, truncation to int (v1 kernel
+                # semantics on the packed (nb, lf) layout).
+                t0 = jnp.maximum(jnp.float32(0.299) * cur[0:nb], 0.0)
+                t1 = jnp.maximum(jnp.float32(0.587) * cur[nb:2 * nb], 0.0)
+                t2 = jnp.maximum(jnp.float32(0.114) * cur[2 * nb:3 * nb], 0.0)
+                li = jnp.clip((t0 + t1) + t2, 0.0, 255.0).astype(jnp.int32)
+                # Per-row halving-tree LUT walk over the k-major (768, 1)
+                # table (row 3k + e = entry-e weight for luminance k): five
+                # halvings keyed on bits 7..3 keep every slice offset a
+                # multiple of 8; the last three bits resolve with
+                # bit-selected sublane rolls on the (24, lf) remainder
+                # (amounts constant along the roll axis, so the chain
+                # composes exactly). Pure selection of exact f32 constants
+                # — bit-exact by construction.
+                w_rows = [[], [], []]
+                for b in range(nb):
+                    lib = li[b:b + 1]  # (1, lf)
+                    t = aux_ref[:]  # (768, 1)
+                    for bit in (7, 6, 5, 4, 3):
+                        half = 3 << bit
+                        cond = ((lib >> bit) & 1) == 1
+                        t = jnp.where(cond, t[half:], t[:half])
+                    for bit in (2, 1, 0):
+                        cond = ((lib >> bit) & 1) == 1
+                        t = jnp.where(cond, jnp.roll(t, -(3 << bit), axis=0), t)
+                    for e in range(3):
+                        w_rows[e].append(t[e:e + 1, :])
+                for e, (dx, dy) in enumerate(offsets):
+                    we = jnp.concatenate(w_rows[e], axis=0)  # (nb, lf)
+                    contrib = err * jnp.concatenate([we, we, we], axis=0)
+                    if dy:
+                        contrib = jnp.roll(contrib, dy, axis=1)
+                        contrib = jnp.where(y_lane >= dy, contrib, 0.0)
+                    err_buf[e, (j + dx + s * dy) % n_slots] = contrib
+            else:
+                for ei, (dx, dy, wq) in enumerate(entries):
+                    contrib = err * wq
+                    if dy:
+                        contrib = jnp.roll(contrib, dy, axis=1)
+                        contrib = jnp.where(y_lane >= dy, contrib, 0.0)
+                    err_buf[ei, (j + dx + s * dy) % n_slots] = contrib
 
     n_chunks = d_pad // chunk
     return pl.pallas_call(
@@ -774,7 +915,7 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
         out_specs=pl.BlockSpec((chunk, nb, lf), lambda g: (g, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((d_pad, nb, lf), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((len(entries), n_slots, R, lf),
+        scratch_shapes=[pltpu.VMEM((len(offsets), n_slots, R, lf),
                                    jnp.float32)],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1195,7 +1336,7 @@ def _unskew_select_colors(idx_skew: jnp.ndarray, palette: jnp.ndarray,
     p = palette.shape[0]
     wxp = _round_up(w, 128)
     n_in = -(-(128 + 127 * s) // 128)
-    if (not interpret and p <= 64 and d_pad % 128 == 0 and lf % 128 == 0
+    if (not interpret and p <= 256 and d_pad % 128 == 0 and lf % 128 == 0
             and b % 8 == 0 and d_pad // 128 >= n_in and wxp <= d_pad):
         call = _unskew_select_call(b, lf, d_pad, s, wxp, p, False)
         # Palette colors are integers 0..255: the i32 round trip is exact.
@@ -1258,12 +1399,19 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
     img_skew = _skew_packed(jnp.asarray(images), s, lf, d_pad,
                              interpret=bool(interpret),
                              out_dtype=_stream_dtype(images, bool(interpret)))
-    pal_dev = jnp.asarray(_pad_palette_packed(palette.astype(np.float32), pp, b))
+    if pp > 64:
+        # Lane-search kernels take the palette in v1 (pp, 3) column form.
+        pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
+    else:
+        pal_dev = jnp.asarray(
+            _pad_palette_packed(palette.astype(np.float32), pp, b))
     if mode in ("perceptual", "adaptive"):
         # (B, H, W) aux -> (d_pad, B, lf) skewed
         aux4 = jnp.asarray(aux.astype(np.float32))[..., None]
         aux_skew = _skew_packed(aux4.repeat(3, axis=-1), s, lf, d_pad,
                                  interpret=bool(interpret))[:, :b, :]
+    elif mode == "ostromoukhov":
+        aux_skew = jnp.asarray(_ostro_weight_table_packed())
     else:
         aux_skew = jnp.zeros((1, 8), jnp.float32)
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))

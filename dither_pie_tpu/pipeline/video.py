@@ -110,12 +110,21 @@ def process_frames(
     total_frames: Optional[int] = None,
     retries: int = 2,
     prefetch: bool = True,
+    overlap: bool = True,
 ) -> Iterator[np.ndarray]:
     """Core streaming transform: frames in -> processed frames out.
 
     Batches frames for the device; retries failed batches frame-by-frame;
     patches irrecoverable frames with the nearest previous good frame
     (or the next good one at the start of the stream).
+
+    ``overlap=True`` pipelines the device work: batches are dispatched on a
+    two-worker pool with up to two batches in flight, so batch N+1's
+    H2D + compute runs while batch N's D2H drains and the main thread
+    decodes/pixelizes N+2 and writes N-1 — the reference's pool overlapped
+    I/O with compute the same way (video_processor.py:304-341); a
+    serialized device loop leaves the chip idle during every transfer.
+    Results are emitted strictly in order either way.
     """
     if prefetch:
         frames = _prefetch(frames, depth=2 * batch_size)
@@ -151,14 +160,8 @@ def process_frames(
                 results.append(ok)
             return results
 
-    def flush():
+    def emit_results(results):
         nonlocal done, last_good, pending_patch
-        if not batch:
-            return
-        with stage("video.pixelize"):
-            pix = _pixelize_frames(batch, method, max_size)
-        results = run_batch(pix)
-        batch.clear()
         for res in results:
             if res is None:
                 if last_good is None:
@@ -183,11 +186,44 @@ def process_frames(
                 progress(0.1 + 0.8 * done / total_frames,
                          f"Processed {done}/{total_frames} frames")
 
-    for frame in frames:
-        batch.append(np.asarray(frame))
-        if len(batch) >= batch_size:
-            yield from flush()
-    yield from flush()
+    def pixelized(arrs):
+        with stage("video.pixelize"):
+            return _pixelize_frames(arrs, method, max_size)
+
+    if not overlap:
+        for frame in frames:
+            batch.append(np.asarray(frame))
+            if len(batch) >= batch_size:
+                yield from emit_results(run_batch(pixelized(batch)))
+                batch.clear()
+        if batch:
+            yield from emit_results(run_batch(pixelized(batch)))
+        return
+
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=2,
+                            thread_name_prefix="dither-batch")
+    pending: "collections.deque" = collections.deque()
+    try:
+        for frame in frames:
+            batch.append(np.asarray(frame))
+            if len(batch) >= batch_size:
+                # Pixelize on the main thread (the neural path owns the
+                # device program for its own batch), then hand the dither
+                # to the pool.
+                pending.append(ex.submit(run_batch, pixelized(batch)))
+                batch.clear()
+                while len(pending) > 2:
+                    yield from emit_results(pending.popleft().result())
+        if batch:
+            pending.append(ex.submit(run_batch, pixelized(batch)))
+            batch.clear()
+        while pending:
+            yield from emit_results(pending.popleft().result())
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 class VideoProcessor:

@@ -166,3 +166,43 @@ def test_full_pipeline_shapes(reference_models, inputs):
     out = np.asarray(out)
     assert out.shape == clip.shape
     assert np.all(out >= -1.001) and np.all(out <= 1.001)
+
+
+def test_bf16_video_gate_selects_and_falls_back(monkeypatch):
+    """The batched-video forward defaults to bf16 behind a first-batch
+    parity gate and falls back to f32 when the gate fails; an explicit
+    DITHER_PIE_TPU_NEURAL_PRECISION always wins."""
+    from dither_pie_tpu.models.inference import PixelizationModel
+
+    monkeypatch.delenv("DITHER_PIE_TPU_NEURAL_PRECISION", raising=False)
+    m = PixelizationModel()
+    m.load_random(0)
+    x = np.random.RandomState(7).uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32)
+
+    # On CPU bf16 and f32 agree -> gate passes -> bf16 locked in.
+    out = m._gated_batch_forward(x)
+    assert out.dtype == np.uint8
+    assert m._video_prec == "bfloat16"
+
+    # Divergent bf16 output -> gate fails closed to f32.
+    m2 = PixelizationModel()
+    m2.load_random(0)
+    real_forward = m2.forward_u8
+
+    def skewed(stacked, precision=None):
+        out = real_forward(stacked, precision=precision)
+        if precision == "bfloat16":
+            out = np.clip(out.astype(np.int16) + 40, 0, 255).astype(np.uint8)
+        return out
+
+    monkeypatch.setattr(m2, "forward_u8", skewed)
+    ref = m2._gated_batch_forward(x)
+    assert m2._video_prec == "float32"
+    np.testing.assert_array_equal(ref, real_forward(x, precision="float32"))
+
+    # Explicit env var bypasses the gate entirely.
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_PRECISION", "float32")
+    m3 = PixelizationModel()
+    m3.load_random(0)
+    m3._gated_batch_forward(x)
+    assert m3._video_prec == "float32"

@@ -191,6 +191,43 @@ class TestVideoFrames:
         np.testing.assert_allclose(batched.astype(np.int16),
                                    single.astype(np.int16), atol=1)
 
+    def test_overlap_matches_serial(self):
+        """The pipelined (two-in-flight) path must emit the exact same
+        frames in the exact same order as the serialized path."""
+        pal = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)]
+        frames = list(self._frames(11))
+        d1 = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode.BAYER,
+                               palette=list(pal))
+        d2 = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode.BAYER,
+                               palette=list(pal))
+        a = list(process_frames(iter(frames), d1, batch_size=3, overlap=True))
+        b = list(process_frames(iter(frames), d2, batch_size=3, overlap=False))
+        assert len(a) == len(b) == 11
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_overlap_patches_failed_frames(self, monkeypatch):
+        """Retry/patch semantics survive the pipelined path."""
+        pal = [(0, 0, 0), (255, 255, 255)]
+        d = dpt.ImageDitherer(num_colors=2, dither_mode=dpt.DitherMode.NONE,
+                              palette=list(pal))
+        calls = {"n": 0}
+        orig = d.apply_dithering_batch
+
+        def flaky(stacked):
+            calls["n"] += 1
+            if calls["n"] == 2:  # fail the second BATCH entirely
+                raise RuntimeError("boom")
+            return orig(stacked)
+
+        monkeypatch.setattr(d, "apply_dithering_batch", flaky)
+        outs = list(process_frames(self._frames(8), d, batch_size=2,
+                                   retries=0, overlap=True))
+        # batch 2's frames are patched from the nearest good frame
+        assert len(outs) == 8
+        np.testing.assert_array_equal(outs[2], outs[1])
+        np.testing.assert_array_equal(outs[3], outs[1])
+
     def test_ed_batch_stream(self, monkeypatch):
         monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "native")
         d = dpt.ImageDitherer(

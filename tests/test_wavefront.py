@@ -31,9 +31,10 @@ def _img(h=16, w=20, seed=0):
 def _similar(a, b, min_identical=0.98):
     """Identity fraction + 4x4 block mean-color agreement (the perceptual
     contract for ED modes: individual near-tie flips are allowed, drifting
-    local color statistics are not). Most paths are bit-exact after the
-    round-2 tie-break/FMA fixes; sierra_two_row retains a ~1% inherent
-    accumulation-order divergence vs the row-major golden scan."""
+    local color statistics are not). Every variant is bit-exact on hardware
+    after the round-2 tie-break/FMA/accumulation-order fixes (verified at
+    scale by tools/identity_sweep.py); the threshold here only guards the
+    interpret-mode CPU path, whose f32 near-ties may flip."""
     from dither_pie_tpu.core.fidelity import assert_perceptually_matched
 
     assert_perceptually_matched(a, b, min_identical=min_identical,
@@ -205,6 +206,45 @@ def test_packed_odd_shapes():
         o = wf._run_packed("fixed", img.copy(), PAL, variant="stucki")
         n = ed_host.ed_fixed(img[0].copy(), PAL, "stucki", False)
         assert np.all(o[0] == n, axis=-1).mean() > 0.9, (h, w)
+
+
+def test_packed_ostromoukhov_matches_native():
+    """The halving-tree LUT walk (packed v2) must reproduce the exact
+    per-luminance weights — any wrong selection diverges chaotically."""
+    imgs = np.random.RandomState(13).randint(
+        0, 256, (2, 16, 20, 3)).astype(np.float32)
+    o = wf._run_packed("ostromoukhov", imgs.copy(), PAL)
+    for i in range(2):
+        n = ed_host.ed_ostromoukhov(imgs[i].copy(), PAL, False)
+        assert np.all(o[i] == n, axis=-1).mean() > 0.95, i
+
+
+def test_packed_large_palette_lane_search():
+    """>64-color palettes take the v1-form lane search inside the packed
+    kernel (the round-2 v1 fallback is gone for P <= 256)."""
+    rng = np.random.RandomState(14)
+    imgs = rng.randint(0, 256, (2, 16, 20, 3)).astype(np.float32)
+    pal = np.unique(rng.randint(0, 256, (200, 3)), axis=0)[:100].astype(
+        np.float32)
+    o = wf._run_packed("fixed", imgs.copy(), pal, variant="floyd_steinberg")
+    for i in range(2):
+        n = ed_host.ed_fixed(imgs[i].copy(), pal, "floyd_steinberg", False)
+        assert np.all(o[i] == n, axis=-1).mean() > 0.95, i
+    # ostromoukhov + large palette composes both new paths
+    o = wf._run_packed("ostromoukhov", imgs.copy(), pal)
+    n = ed_host.ed_ostromoukhov(imgs[0].copy(), pal, False)
+    assert np.all(o[0] == n, axis=-1).mean() > 0.95
+
+
+def test_run_routes_packed_and_splits_batches(monkeypatch):
+    """_run routes every mode/palette <= 256 colors to the packed kernel
+    and splits batches that exceed the VMEM-derived cap exactly."""
+    imgs = np.random.RandomState(15).randint(
+        0, 256, (10, 12, 14, 3)).astype(np.float32)
+    whole = wf._run("fixed", imgs.copy(), PAL, variant="floyd_steinberg")
+    monkeypatch.setattr(wf, "_max_packed_batch", lambda *a, **k: 8)
+    split = wf._run("fixed", imgs.copy(), PAL, variant="floyd_steinberg")
+    np.testing.assert_array_equal(whole, split)
 
 
 @pytest.mark.parametrize("shape,variant", [

@@ -41,8 +41,11 @@ def main():
     enable_compilation_cache()
     quick = "--quick" in sys.argv
     shapes = [(480, 640)] if quick else [(480, 640), (720, 1280)]
+    # ALL 8 fixed variants: burkes/sierra/sierra_two_row were skipped in
+    # round 2 — and the accumulation-order divergence class this sweep
+    # exists to catch appeared ONLY at 720p scale.
     variants = ["floyd_steinberg", "stucki", "atkinson", "jjn",
-                "sierra_lite"]
+                "sierra_lite", "burkes", "sierra", "sierra_two_row"]
     bad = {}
 
     def check(name, out, golden):
@@ -72,6 +75,34 @@ def main():
             out = wf.ed_batch_wavefront(imgs.copy(), pal8, "perceptual")
             check(f"{tag} {h}p/perceptual", out[3],
                   ed_host.ed_perceptual(imgs[3].copy(), pal8))
+
+            # Adaptive-variance: the gate is computed exactly as the
+            # strategy computes it (variance map >= threshold).
+            from dither_pie_tpu.ops import adaptive as adp
+            gray = (np.float32(0.299) * imgs[..., 0]
+                    + np.float32(0.587) * imgs[..., 1]
+                    + np.float32(0.114) * imgs[..., 2])
+            gates = np.stack([adp.variance_map_np(g, 1) >= 300.0
+                              for g in gray]).astype(np.float32)
+            out = wf.ed_batch_wavefront(imgs.copy(), pal8, "adaptive",
+                                        aux=gates)
+            check(f"{tag} {h}p/adaptive", out[3],
+                  ed_host.ed_adaptive(imgs[3].copy(), pal8,
+                                      gates[3] > 0.5))
+
+            # Large palettes exercise the packed lane-search kernel (the
+            # round-2 v1 fallback): 256 colors, fs + ostromoukhov.
+            prng = np.random.RandomState(42)
+            pal256 = np.unique(prng.randint(0, 256, (600, 3)),
+                               axis=0)[:256].astype(np.float32)
+            out = wf.ed_batch_wavefront(imgs.copy(), pal256, "fixed",
+                                        "floyd_steinberg")
+            check(f"{tag} {h}p/fs-pal256", out[3],
+                  ed_host.ed_fixed(imgs[3].copy(), pal256,
+                                   "floyd_steinberg", False))
+            out = wf.ed_batch_wavefront(imgs.copy(), pal256, "ostromoukhov")
+            check(f"{tag} {h}p/ostromoukhov-pal256", out[3],
+                  ed_host.ed_ostromoukhov(imgs[3].copy(), pal256, False))
 
     print("ALL BIT-IDENTICAL" if not bad else f"DIVERGENT: {bad}")
     return 0 if not bad else 1
