@@ -438,13 +438,8 @@ class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         wf = None if self.serpentine else _wavefront_or_none()
         if wf is not None:
-            # DITHER_PIE_TPU_AUTO_MESH=1: shard the batch over every local
-            # chip (data-parallel, zero collectives; parallel/auto.py).
-            from dither_pie_tpu.parallel.auto import maybe_sharded_ed
-
-            out = maybe_sharded_ed(np.asarray(images), pal, self.variant)
-            if out is not None:
-                return out
+            # DITHER_PIE_TPU_AUTO_MESH=1 shards the batch over every local
+            # chip inside ed_batch_wavefront (parallel/auto.py).
             return wf.ed_batch_wavefront(np.asarray(images), pal,
                                          "fixed", self.variant)
         # Serpentine video batches take the SIMD f32 fast path (reference
@@ -786,9 +781,17 @@ class WaveletDitherStrategy(BaseDitherStrategy):
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         noises, thr = self._draw_noise(h, w)
-        fn = _wavelet_batch_fn(self.wavelet, self.subband_quant)
-        out = fn(jnp.asarray(images), jnp.asarray(pal),
-                 jnp.asarray(noises), jnp.asarray(thr))
+        # DITHER_PIE_TPU_AUTO_MESH=1: frames shard over the local mesh
+        # (noise/threshold tensors replicate — they are frame-invariant).
+        from dither_pie_tpu.parallel.auto import maybe_sharded_map
+
+        out = maybe_sharded_map("wavelet",
+                                (self.wavelet, self.subband_quant),
+                                np.asarray(images), pal, noises, thr)
+        if out is None:
+            fn = _wavelet_batch_fn(self.wavelet, self.subband_quant)
+            out = fn(jnp.asarray(images), jnp.asarray(pal),
+                     jnp.asarray(noises), jnp.asarray(thr))
         # float32 like every other dither_batch (callers quantize).
         return np.asarray(out, dtype=np.float32)
 
@@ -900,9 +903,18 @@ class HalftoneDitherStrategy(BaseDitherStrategy):
             h, w, self.cell_size, self.angle, self.dot_gain,
             self.min_dot_size, self.max_dot_size, self.shape, self.sharpness,
         )
-        out = _halftone.halftone_dither_batch(
-            jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal),
-            jnp.asarray(screen), jnp.asarray(cell_idx), n_cells)
+        # DITHER_PIE_TPU_AUTO_MESH=1: frames shard over the local mesh
+        # (screen/cell layout replicates — it depends only on the shape).
+        from dither_pie_tpu.parallel.auto import maybe_sharded_map
+
+        out = maybe_sharded_map(
+            "halftone", (n_cells,),
+            np.asarray(images, dtype=np.float32), pal,
+            np.asarray(screen), np.asarray(cell_idx))
+        if out is None:
+            out = _halftone.halftone_dither_batch(
+                jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal),
+                jnp.asarray(screen), jnp.asarray(cell_idx), n_cells)
         return np.asarray(out).astype(np.float32)
 
 

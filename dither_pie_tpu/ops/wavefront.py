@@ -612,11 +612,24 @@ def ed_adaptive_wavefront(img: np.ndarray, palette: np.ndarray,
 
 def ed_batch_wavefront(images: np.ndarray, palette: np.ndarray, mode: str = "fixed",
                        variant: str = "floyd_steinberg", **kw) -> np.ndarray:
-    """Batched entry for the video pipeline: (B, H, W, 3) in one scan."""
+    """Batched entry for the video pipeline: (B, H, W, 3) in one scan.
+
+    DITHER_PIE_TPU_AUTO_MESH=1 shards the batch over every local device
+    for EVERY mode (fixed / ostromoukhov / hybrid / perceptual / adaptive;
+    aux streams shard with their frames) — bit-identical to the
+    single-chip path, zero steady-state collectives."""
     if mode in ("perceptual",):
         gray = (np.float32(0.299) * images[..., 0] + np.float32(0.587) * images[..., 1]
                 + np.float32(0.114) * images[..., 2])
         kw["aux"] = np.float32(0.5) + np.float32(0.5) * (gray / np.float32(255.0))
+    from dither_pie_tpu.parallel.auto import maybe_sharded_ed
+
+    out = maybe_sharded_ed(images, palette, mode=mode, variant=variant,
+                           aux=kw.get("aux"),
+                           lum_factor=kw.get("lum_factor", 1.0),
+                           col_factor=kw.get("col_factor", 0.2))
+    if out is not None:
+        return out
     return _run(mode, images, palette, variant=variant, **kw)
 
 
@@ -657,11 +670,15 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                                 float(lum_factor), float(col_factor),
                                 bool(interpret))
 
-        def fn(frames, palette):
+        def fn(frames, palette, aux=None):
             if batch < nb:
                 frames = jnp.concatenate(
                     [frames, jnp.repeat(frames[-1:], nb - batch, axis=0)],
                     axis=0)
+                if aux is not None:
+                    aux = jnp.concatenate(
+                        [aux, jnp.repeat(aux[-1:], nb - batch, axis=0)],
+                        axis=0)
             cols = jnp.concatenate(
                 [palette.astype(jnp.float32),
                  jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
@@ -674,11 +691,19 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                               out_dtype=_stream_dtype(frames,
                                                       bool(interpret)))
             dims = jnp.array([w, h], jnp.int32)
-            if mode == "ostromoukhov":
-                aux = jnp.asarray(_ostro_weight_table_packed())
+            if mode in ("perceptual", "adaptive"):
+                # (B, H, W) per-pixel stream skewed alongside the frames
+                # (sensitivity / variance gate); shards with them under a
+                # data-parallel mesh.
+                aux4 = aux.astype(jnp.float32)[..., None]
+                aux_op = _skew_packed(jnp.repeat(aux4, 3, axis=-1), s, lf,
+                                      d_pad,
+                                      interpret=bool(interpret))[:, :nb, :]
+            elif mode == "ostromoukhov":
+                aux_op = jnp.asarray(_ostro_weight_table_packed())
             else:
-                aux = jnp.zeros((1, 8), jnp.float32)
-            idx_skew = call(dims, sk, pal_dev, aux)
+                aux_op = jnp.zeros((1, 8), jnp.float32)
+            idx_skew = call(dims, sk, pal_dev, aux_op)
             out = _unskew_select_colors(idx_skew, palette.astype(jnp.float32),
                                         s, lf, h, w, bool(interpret))
             return out[:batch]
@@ -691,18 +716,21 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
         mode, variant, h, w, p, batch, float(lum_factor), float(col_factor),
         bool(interpret))
 
-    def fn(frames, palette):
+    def fn(frames, palette, aux=None):
         cols = jnp.concatenate(
             [palette.astype(jnp.float32),
              jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
         sk = _skew(frames, s, h_frame, d_pad, interpret=bool(interpret),
                    out_dtype=_stream_dtype(frames, bool(interpret)))
         dims = jnp.array([w, h], jnp.int32)
-        if mode == "ostromoukhov":
-            aux = jnp.asarray(_ostro_weight_table())
+        if mode in ("perceptual", "adaptive"):
+            aux_op = _skew(aux.astype(jnp.float32)[..., None], s, h_frame,
+                           d_pad, interpret=bool(interpret))
+        elif mode == "ostromoukhov":
+            aux_op = jnp.asarray(_ostro_weight_table())
         else:
-            aux = jnp.zeros((1, 8), jnp.float32)
-        idx_skew = call(dims, sk, cols, aux)
+            aux_op = jnp.zeros((1, 8), jnp.float32)
+        idx_skew = call(dims, sk, cols, aux_op)
         idx3 = idx_skew.reshape(idx_skew.shape[0], batch, h_frame)
         return _unskew_select_colors(idx3, palette.astype(jnp.float32),
                                      s, h_frame, h, w, bool(interpret))

@@ -7,8 +7,10 @@ the packed wavefront kernel on its own shard, zero steady-state
 collectives. Off by default — single-chip semantics (and tests) are
 unchanged unless explicitly requested.
 
-Scope: the fixed-weight ED family with <= 64-color palettes (the video
-hot path). Other modes fall through to the single-device path.
+Scope: the WHOLE batched strategy surface — every ED mode (fixed weights,
+ostromoukhov, hybrid, perceptual, adaptive; aux streams shard with their
+frames), the ordered family, wavelet, and halftone. Bit-identical to the
+single-device path in every case.
 """
 
 from __future__ import annotations
@@ -26,7 +28,8 @@ def auto_mesh_enabled() -> bool:
 
 @functools.lru_cache(maxsize=32)
 def _cached_ed_step(n_dev: int, h: int, w: int, p: int, batch_per_chip: int,
-                    variant: str):
+                    variant: str, mode: str, lum_factor: float,
+                    col_factor: float):
     import jax
 
     from dither_pie_tpu.parallel.mesh import make_mesh
@@ -35,7 +38,9 @@ def _cached_ed_step(n_dev: int, h: int, w: int, p: int, batch_per_chip: int,
     mesh = make_mesh(shape=(n_dev,), axis_names=("data",),
                      devices=jax.devices()[:n_dev])
     return make_sharded_ed_step(mesh, h, w, p, batch_per_chip,
-                                variant=variant)
+                                variant=variant, mode=mode,
+                                lum_factor=lum_factor,
+                                col_factor=col_factor)
 
 
 @functools.lru_cache(maxsize=8)
@@ -92,10 +97,14 @@ def maybe_sharded_ordered(images, palette, screen) -> Optional["object"]:
 
 
 def maybe_sharded_ed(images: np.ndarray, palette: np.ndarray,
-                     variant: str) -> Optional[np.ndarray]:
+                     variant: str = "floyd_steinberg", mode: str = "fixed",
+                     aux: Optional[np.ndarray] = None,
+                     lum_factor: float = 1.0,
+                     col_factor: float = 0.2) -> Optional[np.ndarray]:
     """Run a (B, H, W, 3) batch through the data-parallel mesh, or return
     None when auto-mesh is off / inapplicable (caller falls through to the
-    single-device path)."""
+    single-device path). Covers every wavefront ED mode; ``aux`` is the
+    per-pixel stream for perceptual/adaptive and shards with the frames."""
     if not auto_mesh_enabled():
         return None
     import jax
@@ -104,14 +113,99 @@ def maybe_sharded_ed(images: np.ndarray, palette: np.ndarray,
         n_dev = len(jax.devices())
     except Exception:
         return None
-    if n_dev < 2 or palette.shape[0] > 64:
+    if n_dev < 2 or palette.shape[0] > 256:
         return None
     b, h, w, _ = images.shape
     bp = -(-b // n_dev) * n_dev  # pad to a multiple of the mesh size
+    from dither_pie_tpu.ops.wavefront import _max_packed_batch
+
+    if bp // n_dev > _max_packed_batch(mode, variant, h, w,
+                                       int(palette.shape[0])):
+        return None  # per-chip shard would blow the packed VMEM budget
     if bp != b:
         images = np.concatenate(
             [images, np.repeat(images[-1:], bp - b, axis=0)], axis=0)
+        if aux is not None:
+            aux = np.concatenate(
+                [aux, np.repeat(aux[-1:], bp - b, axis=0)], axis=0)
     run = _cached_ed_step(n_dev, h, w, int(palette.shape[0]), bp // n_dev,
-                          variant)
-    out, _err = run(images, np.asarray(palette, np.float32))
+                          variant, mode, float(lum_factor),
+                          float(col_factor))
+    if mode in ("perceptual", "adaptive"):
+        out, _err = run(images, np.asarray(palette, np.float32),
+                        np.asarray(aux, np.float32))
+    else:
+        out, _err = run(images, np.asarray(palette, np.float32))
+    return np.asarray(out)[:b]
+
+
+# ---------------------------------------------------------------------------
+# Generic per-frame batched device maps (wavelet, halftone): frames shard
+# over 'data', everything else is replicated; no collectives at all.
+# ---------------------------------------------------------------------------
+
+
+def _local_map_fn(kind: str, key: tuple):
+    if kind == "wavelet":
+        from dither_pie_tpu.api.ditherer import _wavelet_batch_fn
+
+        return _wavelet_batch_fn(*key)
+    if kind == "halftone":
+        from dither_pie_tpu.ops.halftone import halftone_dither_batch
+
+        (n_cells,) = key
+        return functools.partial(halftone_dither_batch, n_cells=n_cells)
+    raise ValueError(f"unknown sharded map kind: {kind}")
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_map_step(kind: str, key: tuple, n_dev: int, n_rep: int):
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dither_pie_tpu.parallel.mesh import make_mesh
+    from dither_pie_tpu.parallel.sharding import _SM_CHECK_KW, shard_map
+
+    mesh = make_mesh(shape=(n_dev,), axis_names=("data",),
+                     devices=jax.devices()[:n_dev])
+    fn = _local_map_fn(kind, key)
+    data_spec = P("data", None, None, None)
+    step = jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(data_spec,) + (P(),) * n_rep,
+        out_specs=data_spec,
+        **{_SM_CHECK_KW: False}))
+
+    def run(frames, *reps):
+        import jax.numpy as jnp
+
+        fr = jax.device_put(jnp.asarray(frames),
+                            NamedSharding(mesh, data_spec))
+        return step(fr, *(jnp.asarray(r) for r in reps))
+
+    return run
+
+
+def maybe_sharded_map(kind: str, key: tuple, images: np.ndarray,
+                      *replicated) -> Optional[np.ndarray]:
+    """Shard a per-frame batched device map (wavelet / halftone) over the
+    local mesh, or None when auto-mesh is off / inapplicable. ``key`` must
+    pin every static parameter of the underlying batched fn."""
+    if not auto_mesh_enabled():
+        return None
+    import jax
+
+    try:
+        n_dev = len(jax.devices())
+    except Exception:
+        return None
+    b = images.shape[0]
+    if n_dev < 2:
+        return None
+    bp = -(-b // n_dev) * n_dev
+    if bp != b:
+        images = np.concatenate(
+            [images, np.repeat(images[-1:], bp - b, axis=0)], axis=0)
+    out = _cached_map_step(kind, key, n_dev, len(replicated))(
+        images, *replicated)
     return np.asarray(out)[:b]

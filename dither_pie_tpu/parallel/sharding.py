@@ -89,42 +89,60 @@ def shard_frames(mesh: Mesh, frames_u8: np.ndarray) -> jax.Array:
 
 
 def make_sharded_ed_step(mesh: Mesh, h: int, w: int, p: int,
-                         batch_per_chip: int, variant: str = "floyd_steinberg"):
+                         batch_per_chip: int, variant: str = "floyd_steinberg",
+                         mode: str = "fixed", lum_factor: float = 1.0,
+                         col_factor: float = 0.2):
     """Data-parallel error diffusion over the 'data' mesh axis.
 
     Each chip runs the Pallas wavefront scan over its own shard of frames —
     embarrassingly parallel, no steady-state collectives (a psum'd
     mean-absolute-quantization-error scalar rides along as the ICI check).
     Frames: (n_data * batch_per_chip, H, W, 3) f32, sharded on 'data'.
+
+    Covers the whole ED surface: ``mode`` in fixed / ostromoukhov / hybrid /
+    perceptual / adaptive. The aux-stream modes (perceptual sensitivity,
+    adaptive variance gate) take a (B, H, W) f32 stream that shards on
+    'data' WITH its frames and is skewed on-device alongside them.
     """
     from dither_pie_tpu.ops.wavefront import wavefront_device_fn
 
     # Packed v2 kernel (hardware-bit-verified path); palette padding/packing
     # happens inside the trace, so the raw (P, 3) palette is the argument.
-    fn = wavefront_device_fn("fixed", variant, h, w, p, batch_per_chip)
+    fn = wavefront_device_fn(mode, variant, h, w, p, batch_per_chip,
+                             lum_factor=lum_factor, col_factor=col_factor)
+    has_aux = mode in ("perceptual", "adaptive")
 
-    def local_step(frames, palette):
-        out = fn(frames, palette)  # uint8 palette colors
+    def local_step(frames, palette, aux=None):
+        out = fn(frames, palette, aux=aux) if has_aux else fn(frames, palette)
         err = jnp.mean(jnp.abs(out.astype(jnp.float32)
                                - frames.astype(jnp.float32)))
         err = jax.lax.pmean(err, axis_name="data")
         return out, err
 
+    data_spec = P("data", None, None, None)
+    in_specs = ((data_spec, P(), P("data", None, None)) if has_aux
+                else (data_spec, P()))
     step = jax.jit(shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P("data", None, None, None), P()),
-        out_specs=(P("data", None, None, None), P()),
+        in_specs=in_specs,
+        out_specs=(data_spec, P()),
         # pallas_call out_shapes carry no varying-mesh-axis metadata.
         **{_SM_CHECK_KW: False},
     ))
 
-    def run(frames_u8: np.ndarray, palette: np.ndarray):
+    def run(frames_u8: np.ndarray, palette: np.ndarray,
+            aux: np.ndarray = None):
         pal = jnp.asarray(palette, jnp.float32)
         # Ship u8: the skew transposes in the input dtype (4x less traffic).
         frames = jax.device_put(
             jnp.asarray(frames_u8),
-            NamedSharding(mesh, P("data", None, None, None)))
+            NamedSharding(mesh, data_spec))
+        if has_aux:
+            aux_d = jax.device_put(
+                jnp.asarray(aux, jnp.float32),
+                NamedSharding(mesh, P("data", None, None)))
+            return step(frames, pal, aux_d)
         return step(frames, pal)
 
     return run

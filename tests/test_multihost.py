@@ -206,3 +206,26 @@ def test_auto_mesh_ordered_batch_matches_single(monkeypatch):
     # non-divisible batch: falls through (still correct)
     odd = d.apply_dithering_batch(frames[:10])
     np.testing.assert_array_equal(odd, single[:10])
+
+
+@pytest.mark.parametrize("mode,params", [
+    ("ostromoukhov", {}),
+    ("hybrid", {"lum_factor": 1.0, "col_factor": 0.2}),
+    ("perceptual", {}),
+    ("adaptive_variance", {"var_threshold": 100.0}),
+    ("wavelet", {"wavelet": "haar", "subband_quant": 8}),
+    ("halftone", {"cell_size": 4}),
+])
+def test_auto_mesh_covers_whole_strategy_surface(monkeypatch, mode, params):
+    """Every batched strategy honors DITHER_PIE_TPU_AUTO_MESH=1
+    bit-identically: ED modes (aux streams shard with their frames),
+    wavelet, and halftone (VERDICT round-2 item 5)."""
+    frames = np.random.RandomState(7).randint(
+        0, 256, (10, 24, 32, 3), dtype=np.uint8)
+    pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40), (30, 90, 200)]
+    d = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode(mode),
+                          palette=list(pal), dither_params=dict(params))
+    single = d.apply_dithering_batch(frames)
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
+    sharded = d.apply_dithering_batch(frames)
+    np.testing.assert_array_equal(sharded, single)
