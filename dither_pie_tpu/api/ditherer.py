@@ -381,6 +381,19 @@ def _wavefront_or_none():
         return None
 
 
+def _native_thread_cap() -> int:
+    """Worker cap for the threaded native-engine frame map: every core
+    (the ctypes calls release the GIL for the whole scan, so the map
+    scales with physical parallelism), overridable via
+    DITHER_PIE_TPU_NATIVE_THREADS. Measured by tools/serpentine_scaling.py."""
+    import os
+
+    env = os.environ.get("DITHER_PIE_TPU_NATIVE_THREADS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 1)
+
+
 def _threaded_frames(fn, items, like):
     """Run a per-frame native-engine call across frames with threads (the
     ctypes calls release the GIL). ``items`` is a sequence of per-frame
@@ -388,7 +401,8 @@ def _threaded_frames(fn, items, like):
     from concurrent.futures import ThreadPoolExecutor
 
     out = np.empty_like(like)
-    with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+    with ThreadPoolExecutor(
+            max_workers=min(_native_thread_cap(), len(items))) as ex:
         for i, res in enumerate(ex.map(fn, items)):
             out[i] = res
     return out

@@ -10,37 +10,36 @@ previews, background-thread live preview with a 30-entry LRU cache keyed on
 (palette, gamma, mode, params), lospec import, palette-from-image, video
 apply on a worker thread, and config persistence on close.
 
+Every state transition and processing decision lives in the headless
+AppViewModel (gui/viewmodel.py, driven end to end by
+tests/test_gui_viewmodel.py without a display); this module is widget glue:
+dialogs, the viewer, threads, and the status bar.
+
 All processing goes through the same ImageDitherer / pipeline code paths as
 the CLI, so GUI and CLI results are identical by construction.
 """
 
 from __future__ import annotations
 
-import hashlib
 import threading
 import tkinter as tk
-from collections import OrderedDict
 from pathlib import Path
 from tkinter import filedialog, messagebox, simpledialog, ttk
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
-import numpy as np
 from PIL import Image
 
 from dither_pie_tpu.api.config_manager import ConfigManager
-from dither_pie_tpu.api.ditherer import DitherMode, ImageDitherer, ColorReducer
-from dither_pie_tpu.pipeline.pixelize import pixelize_regular
-from dither_pie_tpu.utils import (IMAGE_EXTENSIONS, VIDEO_EXTENSIONS,
-                                  PaletteManager, import_lospec_palette)
+from dither_pie_tpu.api.ditherer import DitherMode, ImageDitherer
+from dither_pie_tpu.gui.viewmodel import AppViewModel
+from dither_pie_tpu.utils import IMAGE_EXTENSIONS, VIDEO_EXTENSIONS
 from dither_pie_tpu.gui.widgets import (CustomPaletteCreator,
                                         DitherSettingsDialog,
                                         PaletteImagePreviewDialog,
                                         PalettePreview,
                                         PixelizationEditorDialog,
                                         ProgressDialog, StatusBar,
-                                        ZoomableImage, clamp_parameters)
-
-PREVIEW_CACHE_SIZE = 30
+                                        ZoomableImage)
 
 
 class DitheringApp:
@@ -48,27 +47,87 @@ class DitheringApp:
         self.root = root or tk.Tk()
         self.root.title("Dither Pie TPU")
         self.config = ConfigManager()
+        self.vm = AppViewModel(self.config)
         try:
             self.root.geometry(self.config.get_window_geometry())
         except Exception:
             pass
 
-        # State machine: current | pixelized | dithered
-        self.current_image: Optional[Image.Image] = None
-        self.pixelized_image: Optional[Image.Image] = None
-        self.dithered_image: Optional[Image.Image] = None
-        self.display_state = "current"
-        self.video_path: Optional[str] = None
-        self.last_palette: Optional[List[Tuple[int, int, int]]] = None
-        self.last_gamma = False
-        self.dither_parameters: Dict[str, Dict[str, Any]] = {}
-        self._pixelize_cache: Dict[Tuple, Image.Image] = {}
-        self._preview_cache: "OrderedDict[str, Image.Image]" = OrderedDict()
-        self._preview_generation = [0]
-
         self._build_ui()
 
         self.root.protocol("WM_DELETE_WINDOW", self._on_close)
+
+    # State proxies: the view-model owns the state machine; widget code and
+    # the smoke tests read/write it through the app object.
+
+    @property
+    def current_image(self):
+        return self.vm.current_image
+
+    @current_image.setter
+    def current_image(self, v):
+        self.vm.current_image = v
+
+    @property
+    def pixelized_image(self):
+        return self.vm.pixelized_image
+
+    @pixelized_image.setter
+    def pixelized_image(self, v):
+        self.vm.pixelized_image = v
+
+    @property
+    def dithered_image(self):
+        return self.vm.dithered_image
+
+    @dithered_image.setter
+    def dithered_image(self, v):
+        self.vm.dithered_image = v
+
+    @property
+    def display_state(self):
+        return self.vm.display_state
+
+    @display_state.setter
+    def display_state(self, v):
+        self.vm.display_state = v
+
+    @property
+    def video_path(self):
+        return self.vm.video_path
+
+    @video_path.setter
+    def video_path(self, v):
+        self.vm.video_path = v
+
+    @property
+    def last_palette(self):
+        return self.vm.last_palette
+
+    @property
+    def last_gamma(self):
+        return self.vm.last_gamma
+
+    @property
+    def dither_parameters(self):
+        return self.vm.dither_parameters
+
+    def _sync_vm(self):
+        """Push the tk variable values into the view-model settings."""
+        self.vm.mode = self.mode_var.get()
+        try:
+            self.vm.num_colors = int(self.colors_var.get())
+        except Exception:
+            pass
+        self.vm.use_gamma = bool(self.gamma_var.get())
+        try:
+            self.vm.pixelize_max_size = int(self.max_size_var.get())
+        except Exception:
+            pass
+        try:
+            self.vm.final_resize_multiplier = max(1, int(self.resize_var.get()))
+        except Exception:
+            self.vm.final_resize_multiplier = 1
 
     # ------------------------------------------------------------------ UI
 
@@ -90,8 +149,7 @@ class DitheringApp:
         ttk.Separator(sidebar).pack(fill="x", pady=4)
 
         ttk.Label(sidebar, text="Pixelize max size").pack(anchor="w")
-        self.max_size_var = tk.IntVar(
-            value=self.config.get("defaults", "pixelize_max_size", default=128))
+        self.max_size_var = tk.IntVar(value=self.vm.pixelize_max_size)
         ttk.Entry(sidebar, textvariable=self.max_size_var, width=8).pack(anchor="w")
         btn("Pixelize (regular)", self.pixelize_regular_action)
         btn("Pixelize (neural)", self.pixelize_neural_action)
@@ -101,8 +159,7 @@ class DitheringApp:
         ttk.Label(sidebar, text="Dither mode").pack(anchor="w")
         mode_row = ttk.Frame(sidebar)
         mode_row.pack(fill="x")
-        self.mode_var = tk.StringVar(
-            value=self.config.get("defaults", "dither_mode", default="bayer"))
+        self.mode_var = tk.StringVar(value=self.vm.mode)
         self.mode_combo = ttk.Combobox(
             mode_row, textvariable=self.mode_var, state="readonly",
             values=[m.value for m in DitherMode], width=16)
@@ -111,18 +168,15 @@ class DitheringApp:
                    command=self.open_mode_settings).pack(side="left", padx=2)
 
         ttk.Label(sidebar, text="Colors").pack(anchor="w", pady=(4, 0))
-        self.colors_var = tk.IntVar(
-            value=self.config.get("defaults", "num_colors", default=16))
+        self.colors_var = tk.IntVar(value=self.vm.num_colors)
         ttk.Entry(sidebar, textvariable=self.colors_var, width=8).pack(anchor="w")
 
-        self.gamma_var = tk.BooleanVar(
-            value=self.config.get("defaults", "use_gamma", default=False))
+        self.gamma_var = tk.BooleanVar(value=self.vm.use_gamma)
         ttk.Checkbutton(sidebar, text="Gamma correction",
                         variable=self.gamma_var).pack(anchor="w", pady=2)
 
         ttk.Label(sidebar, text="Final resize ×").pack(anchor="w", pady=(4, 0))
-        self.resize_var = tk.IntVar(
-            value=self.config.get("defaults", "final_resize_multiplier", default=2))
+        self.resize_var = tk.IntVar(value=self.vm.final_resize_multiplier)
         self.resize_var.trace_add("write", lambda *a: self._update_size_note())
         ttk.Entry(sidebar, textvariable=self.resize_var, width=8).pack(anchor="w")
         self.size_note = ttk.Label(sidebar, text="", foreground="#888")
@@ -152,7 +206,7 @@ class DitheringApp:
     # ------------------------------------------------------------- helpers
 
     def _active_source(self) -> Optional[Image.Image]:
-        return self.pixelized_image or self.current_image
+        return self.vm.active_source()
 
     def _show(self, image: Image.Image, state: str, keep_view=True):
         view = self.viewer.get_view_state()
@@ -163,29 +217,18 @@ class DitheringApp:
         self._update_size_note()
 
     def _update_size_note(self):
-        img = self.dithered_image or self._active_source()
-        if img is None:
-            return
-        try:
-            mult = max(1, int(self.resize_var.get()))
-        except Exception:
-            mult = 1
-        w, h = img.size
-        self.size_note.config(text=f"result: {w * mult}x{h * mult}")
+        self._sync_vm()
+        note = self.vm.result_size_note()
+        if note:
+            self.size_note.config(text=note)
 
     def _params_for_mode(self, mode: str) -> Dict[str, Any]:
-        info = ImageDitherer.get_mode_parameters(DitherMode(mode))
-        if not info:
-            return {}
-        return clamp_parameters(info, self.dither_parameters.get(mode, {}))
+        self._sync_vm()
+        return self.vm.params_for_mode(mode)
 
     def _build_ditherer(self, palette, num_colors) -> ImageDitherer:
-        mode = self.mode_var.get()
-        return ImageDitherer(num_colors=num_colors,
-                             dither_mode=DitherMode(mode),
-                             palette=palette,
-                             use_gamma=self.gamma_var.get(),
-                             dither_params=self._params_for_mode(mode))
+        self._sync_vm()
+        return self.vm.build_ditherer(palette, num_colors)
 
     # ---------------------------------------------------------- file ops
 
@@ -195,15 +238,10 @@ class DitheringApp:
             filetypes=[("Images", " ".join(f"*{e}" for e in IMAGE_EXTENSIONS))])
         if not path:
             return
-        self.config.set_last_dir("image", str(Path(path).parent))
-        self.config.add_recent_file(path)
-        self.current_image = Image.open(path).convert("RGB")
-        self.pixelized_image = None
-        self.dithered_image = None
-        self.video_path = None
-        self._show(self.current_image, "current", keep_view=False)
+        img = self.vm.load_image(path)
+        self._show(img, "current", keep_view=False)
         self.status.set_text(f"Loaded {Path(path).name} "
-                             f"({self.current_image.size[0]}x{self.current_image.size[1]})")
+                             f"({img.size[0]}x{img.size[1]})")
 
     def open_video(self):
         path = filedialog.askopenfilename(
@@ -217,50 +255,32 @@ class DitheringApp:
             messagebox.showerror("No video backend",
                                  "Video support requires ffmpeg (or OpenCV).")
             return
-        self.config.set_last_dir("video", str(Path(path).parent))
-        frame = ffio.read_single_frame(path, 0)
-        if frame is None:
-            messagebox.showerror("Error", "Could not decode first frame")
+        try:
+            img = self.vm.load_video(path)
+        except ValueError as e:
+            messagebox.showerror("Error", str(e))
             return
-        self.video_path = path
-        self.current_image = Image.fromarray(frame)
-        self.pixelized_image = None
-        self.dithered_image = None
-        self._show(self.current_image, "current", keep_view=False)
+        self._show(img, "current", keep_view=False)
         self.status.set_text(f"Loaded video {Path(path).name} (first frame)")
 
     def random_video_frame(self):
         if not self.video_path:
             messagebox.showinfo("No video", "Open a video first.")
             return
-        from dither_pie_tpu.pipeline import ffio
-        import random
-
-        info = ffio.probe_video(self.video_path)
-        n = info.get("frame_count") or 100
-        idx = random.randint(0, max(0, n - 1))
-        frame = ffio.read_single_frame(self.video_path, idx)
-        if frame is None:
-            messagebox.showerror("Error", f"Could not decode frame {idx}")
+        try:
+            img, idx, n = self.vm.random_video_frame()
+        except ValueError as e:
+            messagebox.showerror("Error", str(e))
             return
-        self.current_image = Image.fromarray(frame)
-        self.pixelized_image = None
-        self.dithered_image = None
-        self._show(self.current_image, "current", keep_view=False)
+        self._show(img, "current", keep_view=False)
         self.status.set_text(f"Frame {idx}/{n}")
 
     def save_result(self):
-        img = self.dithered_image or self._active_source()
+        self._sync_vm()
+        img = self.vm.result_image()
         if img is None:
             messagebox.showinfo("Nothing to save", "Process an image first.")
             return
-        try:
-            mult = max(1, int(self.resize_var.get()))
-        except Exception:
-            mult = 1
-        if mult > 1:
-            img = img.resize((img.size[0] * mult, img.size[1] * mult),
-                             Image.Resampling.NEAREST)
         path = filedialog.asksaveasfilename(defaultextension=".png",
                                             filetypes=[("PNG", "*.png")])
         if path:
@@ -269,45 +289,29 @@ class DitheringApp:
 
     # ------------------------------------------------------- pixelization
 
-    def _pixelize_key(self, method: str, max_size: int) -> Tuple:
-        arr = np.asarray(self.current_image)
-        sample = arr[:: max(1, arr.shape[0] // 16), :: max(1, arr.shape[1] // 16)]
-        digest = hashlib.md5(sample.tobytes()).hexdigest()
-        return (method, max_size, digest)
-
     def pixelize_regular_action(self):
         if self.current_image is None:
             return
-        max_size = int(self.max_size_var.get())
-        key = self._pixelize_key("regular", max_size)
-        if key not in self._pixelize_cache:
-            self._pixelize_cache[key] = pixelize_regular(self.current_image, max_size)
-        self.pixelized_image = self._pixelize_cache[key]
-        self.dithered_image = None
-        self._show(self.pixelized_image, "pixelized", keep_view=False)
-        self.status.set_text(
-            f"Pixelized to {self.pixelized_image.size[0]}x{self.pixelized_image.size[1]}")
+        self._sync_vm()
+        img = self.vm.pixelize("regular")
+        self._show(img, "pixelized", keep_view=False)
+        self.status.set_text(f"Pixelized to {img.size[0]}x{img.size[1]}")
 
     def pixelize_neural_action(self):
         if self.current_image is None:
             return
-        max_size = int(self.max_size_var.get())
-        key = self._pixelize_key("neural", max_size)
-        if key in self._pixelize_cache:
-            self.pixelized_image = self._pixelize_cache[key]
-            self._show(self.pixelized_image, "pixelized", keep_view=False)
+        self._sync_vm()
+        cached = self.vm.cached_pixelize("neural")
+        if cached is not None:
+            self.vm.set_pixelized(cached)
+            self._show(cached, "pixelized", keep_view=False)
             return
         self.status.start_spinner("Neural pixelization...")
 
         def work():
             try:
-                from dither_pie_tpu.pipeline.pixelize import get_neural_pixelizer
-
-                result = get_neural_pixelizer().pixelize(self.current_image, max_size)
+                result = self.vm.pixelize("neural")
                 def done():
-                    self._pixelize_cache[key] = result
-                    self.pixelized_image = result
-                    self.dithered_image = None
                     self._show(result, "pixelized", keep_view=False)
                     self.status.stop_spinner("Neural pixelization complete")
                 self.root.after(0, done)
@@ -323,8 +327,7 @@ class DitheringApp:
             return
 
         def apply(img):
-            self.pixelized_image = img
-            self.dithered_image = None
+            self.vm.set_pixelized(img)
             self._show(img, "pixelized", keep_view=False)
 
         PixelizationEditorDialog(self.root, self._active_source(),
@@ -352,16 +355,8 @@ class DitheringApp:
 
     def _palette_options(self, source_img: Image.Image):
         """(label, palette) choices: generated + palette.json entries."""
-        n = int(self.colors_var.get())
-        opts = [
-            ("Median Cut", ColorReducer.reduce_colors(source_img, n)),
-            ("K-means", ColorReducer.generate_kmeans_palette(source_img, n)),
-            ("Uniform", ColorReducer.generate_uniform_palette(n)),
-        ]
-        mgr = PaletteManager()
-        for pal in mgr.palettes:
-            opts.append((pal["name"], mgr.get_palette_colors_rgb(pal["name"])))
-        return opts
+        self._sync_vm()
+        return self.vm.palette_options(source_img)
 
     def apply_dithering_dialog(self):
         src = self._active_source()
@@ -385,25 +380,12 @@ class DitheringApp:
                                            filetypes=[("MP4", "*.mp4")])
         if not out:
             return
-        from dither_pie_tpu.pipeline.video import VideoProcessor
-
-        ditherer = self._build_ditherer(list(self.last_palette),
-                                        len(self.last_palette))
-        pixelize_func = None
-        if self.pixelized_image is not None:
-            pixelize_func = ("regular", int(self.max_size_var.get()))
-        try:
-            mult = max(1, int(self.resize_var.get()))
-        except Exception:
-            mult = 1
-
+        self._sync_vm()
         dlg = ProgressDialog(self.root, "Processing video")
-        proc = VideoProcessor(progress_callback=dlg.update_progress)
 
         def work():
-            ok = proc.process_video_streaming(
-                self.video_path, out, ditherer, pixelize_func=pixelize_func,
-                final_resize_multiplier=mult if mult > 1 else None)
+            ok = self.vm.apply_to_video(out,
+                                        progress_callback=dlg.update_progress)
             self.root.after(0, dlg.close)
             msg = "Video processed!" if ok else "Video processing failed"
             self.root.after(0, lambda: self.status.set_text(msg))
@@ -418,12 +400,10 @@ class DitheringApp:
                                      parent=self.root)
         if not url:
             return
-        pal = import_lospec_palette(url)
+        pal = self.vm.import_lospec(url)
         if pal is None:
             messagebox.showerror("Import failed", "Could not fetch palette.")
             return
-        mgr = PaletteManager()
-        mgr.add_palette(pal["name"], pal["colors"])
         self.status.set_text(f"Imported palette '{pal['name']}' "
                              f"({len(pal['colors'])} colors)")
 
@@ -436,10 +416,10 @@ class DitheringApp:
                             " ".join(f"*{e}" for e in IMAGE_EXTENSIONS))])
             if not path:
                 return
-            img = Image.open(path).convert("RGB")
-            n = int(self.colors_var.get())
-            palette = ColorReducer.generate_kmeans_palette(img, n)
-            dlg = PaletteImagePreviewDialog(self.root, palette, path, n)
+            self._sync_vm()
+            palette = self.vm.kmeans_palette_from_image(path)
+            dlg = PaletteImagePreviewDialog(self.root, palette, path,
+                                            int(self.vm.num_colors))
             self.root.wait_window(dlg)
             if dlg.use_result:
                 break
@@ -448,14 +428,12 @@ class DitheringApp:
         name = simpledialog.askstring("Palette name", "Save palette as:",
                                       initialvalue=Path(path).stem, parent=self.root)
         if name:
-            from dither_pie_tpu.core.colors import rgb_to_hex
-
-            PaletteManager().add_palette(name, [rgb_to_hex(c) for c in palette])
+            self.vm.save_palette(name, palette)
             self.status.set_text(f"Saved palette '{name}'")
 
     def create_palette(self):
         def save(pal):
-            PaletteManager().add_palette(pal["name"], pal["colors"])
+            self.vm.save_palette(pal["name"], pal["colors"])
             self.status.set_text(f"Saved palette '{pal['name']}'")
 
         CustomPaletteCreator(self.root, on_save=save)
@@ -474,30 +452,18 @@ class DitheringApp:
         ImageComparisonView(self.root, self.current_image, processed)
 
     def toggle_view(self):
-        states = [("current", self.current_image),
-                  ("pixelized", self.pixelized_image),
-                  ("dithered", self.dithered_image)]
-        avail = [(name, img) for name, img in states if img is not None]
-        if not avail:
+        res = self.vm.toggle_state()
+        if res is None:
             return
-        names = [name for name, _ in avail]
-        try:
-            nxt = (names.index(self.display_state) + 1) % len(names)
-        except ValueError:
-            nxt = 0
-        name, img = avail[nxt]
+        name, img = res
         self._show(img, name, keep_view=True)
         self.status.set_text(f"Showing: {name}")
 
     def _on_close(self):
         try:
             self.config.set_window_geometry(self.root.geometry())
-            self.config.set("defaults", "num_colors", int(self.colors_var.get()))
-            self.config.set("defaults", "dither_mode", self.mode_var.get())
-            self.config.set("defaults", "pixelize_max_size", int(self.max_size_var.get()))
-            self.config.set("defaults", "final_resize_multiplier", int(self.resize_var.get()))
-            self.config.set("defaults", "use_gamma", bool(self.gamma_var.get()))
-            self.config.save()
+            self._sync_vm()
+            self.vm.persist_settings()
         except Exception:
             pass
         self.root.destroy()
@@ -553,38 +519,32 @@ class PaletteDialog(tk.Toplevel):
 
     def _cache_key(self) -> str:
         label, colors = self.options[self.var.get()]
-        mode = self.app.mode_var.get()
-        params = self.app._params_for_mode(mode)
-        return f"{label}|{colors}|{self.app.gamma_var.get()}|{mode}|{sorted(params.items())}"
+        self.app._sync_vm()
+        return self.app.vm.preview_cache_key(label, colors)
 
     def _on_select(self):
+        vm = self.app.vm
         key = self._cache_key()
-        cache = self.app._preview_cache
-        if key in cache:
-            cache.move_to_end(key)
-            self._display(cache[key])
+        cached = vm.get_cached_preview(key)
+        if cached is not None:
+            self._display(cached)
             return
         self.app.status.start_spinner("Generating preview...")
-        self.app._preview_generation[0] += 1
-        gen = self.app._preview_generation[0]
+        gen = vm.begin_preview()
         label, colors = self.options[self.var.get()]
-        ditherer = self.app._build_ditherer(list(colors), len(colors))
         src = self.source_img
 
         def work():
             try:
-                preview = ditherer.apply_dithering(src)
+                preview = vm.render_preview(label, colors, src)
             except Exception as e:
                 self.app.root.after(0, lambda: self.app.status.stop_spinner(
                     f"Preview failed: {e}"))
                 return
 
             def done():
-                if gen != self.app._preview_generation[0]:
+                if not vm.commit_preview(gen, key, preview):
                     return  # superseded by a newer selection
-                cache[key] = preview
-                while len(cache) > PREVIEW_CACHE_SIZE:
-                    cache.popitem(last=False)
                 self._display(preview)
                 self.app.status.stop_spinner("Preview ready")
 
@@ -600,9 +560,9 @@ class PaletteDialog(tk.Toplevel):
 
     def _toggle_original(self):
         if self._showing_original:
-            key = self._cache_key()
-            if key in self.app._preview_cache:
-                self._display(self.app._preview_cache[key])
+            cached = self.app.vm.get_cached_preview(self._cache_key())
+            if cached is not None:
+                self._display(cached)
         else:
             view = self.app.viewer.get_view_state()
             self.app.viewer.set_image(self.source_img, keep_view=True)
@@ -612,14 +572,12 @@ class PaletteDialog(tk.Toplevel):
     def _apply(self):
         key = self._cache_key()
         label, colors = self.options[self.var.get()]
-        preview = self.app._preview_cache.get(key)
+        preview = self.app.vm.get_cached_preview(key)
         if preview is None:
             messagebox.showinfo("Preview pending",
                                 "Wait for the preview to finish.")
             return
-        self.app.dithered_image = preview
-        self.app.last_palette = list(colors)
-        self.app.last_gamma = self.app.gamma_var.get()
+        self.app.vm.adopt_preview(colors, preview)
         self.app._show(preview, "dithered", keep_view=True)
         self.app.status.set_text(f"Dithered with '{label}'")
         self.destroy()
