@@ -193,6 +193,67 @@ def main():
     except Exception as e:
         errors["config2"] = repr(e)
 
+    # Config 2b: 256-color palette through the packed lane-search kernel
+    # (the reference supports arbitrary custom palettes; lospec palettes
+    # routinely exceed 64 colors). Same chain harness, same frames.
+    try:
+        prng = np.random.RandomState(42)
+        pal256 = np.unique(prng.randint(0, 256, (600, 3)),
+                           axis=0)[:256].astype(np.float32)
+        pal256_dev = jnp.asarray(pal256)
+        fn256 = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
+                                       int(pal256.shape[0]), B_B,
+                                       interpret=cpu)
+
+        def fs256_many(k):
+            @jax.jit
+            def f(pal, *frames_list):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    out = fn256(frames_list[i],
+                                pal.at[0, 0].set(acc + jnp.float32(i % 3)))
+                    acc = (jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
+                           * jnp.float32(1e-12))
+                return acc
+            return lambda: f(pal256_dev, *fs_bufs[:k])
+
+        per2b = timed_pair(fs256_many(1), fs256_many(3), 3)
+        details["fs_1080p_pal256_fps_e2e_device"] = round(B_B / per2b, 1)
+        log(f"2b: FS 1080p 256-color palette {per2b*1e3:.1f} ms/batch{B_B} "
+            f"-> {B_B / per2b:.0f} fps")
+    except Exception as e:
+        errors["config2b"] = repr(e)
+
+    # Config 2p: planar-in/planar-out device path (the ffmpeg-gbrp
+    # ingestion layout): the NHWC<->planar copies around the kernels
+    # vanish — this measures what that buys vs the config-2 number.
+    try:
+        pl_bufs = [jnp.asarray(np.ascontiguousarray(
+            np.asarray(b_).transpose(3, 0, 1, 2))) for b_ in fs_bufs]
+        fnp = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
+                                     int(pal32.shape[0]), B_B,
+                                     interpret=cpu, planar=True)
+
+        def fsp_many(k):
+            @jax.jit
+            def f(pal, *planes_list):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    out = fnp(planes_list[i],
+                              pal.at[0, 0].set(acc + jnp.float32(i % 3)))
+                    acc = (jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
+                           * jnp.float32(1e-12))
+                return acc
+            return lambda: f(pal32_dev, *pl_bufs[:k])
+
+        per2p = timed_pair(fsp_many(1), fsp_many(3), 3)
+        details["fs_1080p_planar_fps_e2e_device"] = round(B_B / per2p, 1)
+        log(f"2p: FS 1080p planar path {per2p*1e3:.1f} ms/batch{B_B} "
+            f"-> {B_B / per2p:.0f} fps "
+            f"(vs {fs_fps:.0f} NHWC)")
+    except Exception as e:
+        errors["config2p"] = repr(e)
+
     # ---- Config 3: batch 100 x 1080p, blue-noise + IGN, pico8 palette -----
     try:
         # Differential in the BATCH dimension: time one batch-100 dispatch
@@ -321,6 +382,29 @@ def main():
             log(f"4: 720p stucki video e2e {e2e_fps:.2f} fps wall "
                 f"({n_frames} frames, {wall:.1f}s; tunnel D2H-bound — see "
                 f"link_d2h_mb_s)")
+
+            # Overlap off: serialize the device loop (no batches in flight
+            # behind the writer) to measure what the double-buffering buys
+            # on this host link.
+            from dither_pie_tpu.pipeline import video as _vid
+
+            dst2 = os.path.join(td, "out_serial.mp4")
+            reader = ffio.read_frames(src, vw, vh)
+            writer2 = None
+            t0 = time.time()
+            for outf in _vid.process_frames(reader, ditherer,
+                                            batch_size=16, overlap=False):
+                if writer2 is None:
+                    writer2 = ffio.FrameWriter(dst2, outf.shape[1],
+                                               outf.shape[0], 30.0)
+                writer2.write(outf)
+            writer2.close()
+            wall_ser = time.time() - t0
+            details["stucki_720p_video_e2e_fps_wall_no_overlap"] = round(
+                n_frames / wall_ser, 2)
+            details["video_overlap_speedup"] = round(wall_ser / wall, 2)
+            log(f"4o: overlap off {n_frames / wall_ser:.2f} fps wall "
+                f"(overlap buys {wall_ser / wall:.2f}x)")
     except Exception as e:
         errors["config4"] = repr(e)
 
@@ -452,17 +536,46 @@ def main():
         im = np.random.RandomState(1).randint(
             0, 256, (32, 40, 3)).astype(np.float32)
         fid = {}
-        o = wf.ed_fixed_wavefront(im.copy(), pal4, "floyd_steinberg")
-        fid["fs"] = round(identity_fraction(
-            o, ed_host.ed_fixed(im.copy(), pal4, "floyd_steinberg", False)), 4)
-        o = wf.ed_fixed_wavefront(im.copy(), pal4, "stucki")
-        fid["stucki"] = round(identity_fraction(
-            o, ed_host.ed_fixed(im.copy(), pal4, "stucki", False)), 4)
+        # Every fixed variant (all 8), the per-pixel-weight/aux modes, and
+        # the 256-color lane-search path. tools/identity_sweep.py measures
+        # the same cells at 480p/720p scale; this is the per-run gate.
+        for variant in ("floyd_steinberg", "jjn", "stucki", "burkes",
+                        "atkinson", "sierra", "sierra_two_row",
+                        "sierra_lite"):
+            o = wf.ed_fixed_wavefront(im.copy(), pal4, variant)
+            fid[variant] = round(identity_fraction(
+                o, ed_host.ed_fixed(im.copy(), pal4, variant, False)), 4)
         o = wf.ed_ostromoukhov_wavefront(im.copy(), pal4)
         fid["ostromoukhov"] = round(identity_fraction(
             o, ed_host.ed_ostromoukhov(im.copy(), pal4, False)), 4)
+        o = wf.ed_hybrid_wavefront(im.copy(), pal4, 1.0, 0.2)
+        fid["hybrid"] = round(identity_fraction(
+            o, ed_host.ed_hybrid(im.copy(), pal4, 1.0, 0.2, True)), 4)
+        o = wf.ed_perceptual_wavefront(im.copy(), pal4)
+        fid["perceptual"] = round(identity_fraction(
+            o, ed_host.ed_perceptual(im.copy(), pal4)), 4)
+        from dither_pie_tpu.ops.adaptive import variance_map_np
+
+        gray = (np.float32(0.299) * im[..., 0] + np.float32(0.587) * im[..., 1]
+                + np.float32(0.114) * im[..., 2])
+        gate = (variance_map_np(gray, 1) >= 300.0)
+        o = wf.ed_adaptive_wavefront(im.copy(), pal4, gate)
+        fid["adaptive"] = round(identity_fraction(
+            o, ed_host.ed_adaptive(im.copy(), pal4, gate)), 4)
+        prng = np.random.RandomState(7)
+        p256 = np.unique(prng.randint(0, 256, (600, 3)),
+                         axis=0)[:256].astype(np.float32)
+        # Dense palettes gate against the f32 golden (the kernel's exact
+        # semantics; the f64 engine differs on genuine f32 near-ties —
+        # see tools/identity_sweep.py).
+        o = wf.ed_fixed_wavefront(im.copy(), p256, "floyd_steinberg")
+        fid["fs_pal256"] = round(identity_fraction(
+            o, ed_host.ed_fixed_fast(im.copy(), p256, "floyd_steinberg",
+                                     False)), 4)
         details["golden_bit_identity"] = fid
-        log(f"fidelity vs golden engine: {fid}")
+        bad = {k: v for k, v in fid.items() if v < 1.0}
+        log(f"fidelity vs golden engine: "
+            f"{'all 1.0 (' + str(len(fid)) + ' cells)' if not bad else bad}")
     except Exception as e:
         errors["fidelity"] = repr(e)
 

@@ -635,7 +635,8 @@ def ed_batch_wavefront(images: np.ndarray, palette: np.ndarray, mode: str = "fix
 
 def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                         batch: int, interpret: Optional[bool] = None,
-                        lum_factor: float = 1.0, col_factor: float = 0.2):
+                        lum_factor: float = 1.0, col_factor: float = 0.2,
+                        planar: bool = False):
     """A pure jit/shard_map-composable device function.
 
     Returns ``fn(frames (B,H,W,3) u8/f32, palette (P,3) f32) -> (B,H,W,3)
@@ -671,10 +672,15 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                                 bool(interpret))
 
         def fn(frames, palette, aux=None):
+            # ``planar``: frames are (3, B, H, W) channel-major planes (the
+            # ffmpeg-gbrp ingestion layout) and the output stays planar —
+            # no XLA copy on either side of the kernels.
+            bax = 1 if planar else 0
             if batch < nb:
+                last = (frames[:, -1:] if planar else frames[-1:])
                 frames = jnp.concatenate(
-                    [frames, jnp.repeat(frames[-1:], nb - batch, axis=0)],
-                    axis=0)
+                    [frames, jnp.repeat(last, nb - batch, axis=bax)],
+                    axis=bax)
                 if aux is not None:
                     aux = jnp.concatenate(
                         [aux, jnp.repeat(aux[-1:], nb - batch, axis=0)],
@@ -686,10 +692,11 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                 pal_dev = cols  # lane-search kernels take (pp, 3) columns
             else:
                 pal_dev = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
-            sk = _skew_packed(frames, s, lf, d_pad,
-                              interpret=bool(interpret),
-                              out_dtype=_stream_dtype(frames,
-                                                      bool(interpret)))
+            skew_fn = _skew_packed_planar if planar else _skew_packed
+            sk = skew_fn(frames, s, lf, d_pad,
+                         interpret=bool(interpret),
+                         out_dtype=_stream_dtype(frames,
+                                                 bool(interpret)))
             dims = jnp.array([w, h], jnp.int32)
             if mode in ("perceptual", "adaptive"):
                 # (B, H, W) per-pixel stream skewed alongside the frames
@@ -705,13 +712,17 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                 aux_op = jnp.zeros((1, 8), jnp.float32)
             idx_skew = call(dims, sk, pal_dev, aux_op)
             out = _unskew_select_colors(idx_skew, palette.astype(jnp.float32),
-                                        s, lf, h, w, bool(interpret))
-            return out[:batch]
+                                        s, lf, h, w, bool(interpret),
+                                        planar_out=planar)
+            return out[:, :batch] if planar else out[:batch]
 
         return fn
 
     # v1 fallback: >256-color palettes only (per-channel epilogue gathers;
     # the lane-search unroll would balloon past 256 entries).
+    if planar:
+        raise ValueError("planar layout requires a palette <= 256 colors "
+                         "(the packed kernel path)")
     call, s, h_frame, hp, pp, d_pad = _compiled(
         mode, variant, h, w, p, batch, float(lum_factor), float(col_factor),
         bool(interpret))
@@ -1162,6 +1173,39 @@ def _skew_packed_fused(images: jnp.ndarray, s: int, lf: int, d_pad: int,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("s", "lf", "d_pad", "interpret",
+                                    "out_dtype"))
+def _skew_packed_planar(planes: jnp.ndarray, s: int, lf: int, d_pad: int,
+                        interpret: bool = False,
+                        out_dtype: str = "float32") -> jnp.ndarray:
+    """(3, B, H, W) channel-major planar frames -> (D, 3B, lf) skewed.
+
+    The planar layout IS the packed kernel's row order (c*B + b), so there
+    is NO data movement between the reader and the skew kernel — the NHWC
+    entry point pays an XLA deinterleave transpose here instead (~1.6 ms
+    per 1080p x16 batch). Planar ingestion (ffmpeg gbrp) feeds this
+    directly."""
+    planes = jnp.asarray(planes)
+    _, b, h, w = planes.shape
+    d_t = _round_up(d_pad, 128)
+    wcp = _round_up(w, 128)
+    x = jnp.pad(planes, ((0, 0), (0, 0), (0, lf - h), (0, wcp - w)))
+    x = x.reshape(3 * b, lf, wcp)
+    if not interpret and 3 * b % 8 == 0 and d_t % 128 == 0:
+        call = _skew_fullrow_call(3 * b, lf, d_t, s, wcp,
+                                  planes.dtype.name, out_dtype, False)
+        t = call(x)
+        return t[:d_pad] if d_t != d_pad else t
+    # Interpret / odd-shape fallback: stride-lemma reference formulation.
+    wp = d_t + s
+    x = jnp.pad(planes, ((0, 0), (0, 0), (0, lf - h), (0, wp - w)))
+    x = x.reshape(3 * b, lf * wp)[:, : lf * d_t].reshape(3 * b, lf, d_t)
+    t = _skew_transpose_call(3 * b, lf, d_t, planes.dtype.name, interpret,
+                             out_dtype)(x)
+    return t[:d_pad] if d_t != d_pad else t
+
+
+@functools.partial(jax.jit,
                    static_argnames=("s", "lf", "d_pad", "interpret", "out_dtype"))
 def _skew_packed(images: jnp.ndarray, s: int, lf: int, d_pad: int,
                  interpret: bool = False,
@@ -1355,10 +1399,14 @@ def _unskew_select_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
 
 def _unskew_select_colors(idx_skew: jnp.ndarray, palette: jnp.ndarray,
                           s: int, lf: int, h: int, w: int,
-                          interpret: bool) -> jnp.ndarray:
+                          interpret: bool,
+                          planar_out: bool = False) -> jnp.ndarray:
     """(d_pad, B, lf) i32 + (P, 3) f32 integer-valued palette ->
-    (B, H, W, 3) u8 colors. Fused kernel when shapes qualify; otherwise the
-    stride-lemma unskew + chained-select XLA path."""
+    (B, H, W, 3) u8 colors — or (3, B, H, W) planes with ``planar_out``
+    (the fused kernel's native output; skipping the interleave stack saves
+    the mirror-image copy of the input deinterleave). Fused kernel when
+    shapes qualify; otherwise the stride-lemma unskew + chained-select XLA
+    path."""
     d_pad = idx_skew.shape[0]
     b = idx_skew.shape[1]
     p = palette.shape[0]
@@ -1370,10 +1418,15 @@ def _unskew_select_colors(idx_skew: jnp.ndarray, palette: jnp.ndarray,
         # Palette colors are integers 0..255: the i32 round trip is exact.
         pal_i32 = jnp.asarray(palette, jnp.float32).astype(jnp.int32)
         planes = call(pal_i32, *([idx_skew] * n_in))  # (3, B, lf, wxp)
+        if planar_out:
+            return planes[:, :, :h, :w]
         return jnp.stack([planes[0], planes[1], planes[2]],
                          axis=-1)[:, :h, :w]
     idx = _unskew_idx_packed(idx_skew, s, lf, h, w, interpret=interpret)
-    return _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
+    out = _select_palette_colors(idx, jnp.asarray(palette, jnp.float32))
+    if planar_out:
+        return out.transpose(3, 0, 1, 2)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("s", "lf", "h", "w", "interpret"))

@@ -143,6 +143,37 @@ def read_frames(video_path: str, width: int, height: int) -> Iterator[np.ndarray
         proc.wait()
 
 
+def read_frames_planar(video_path: str, width: int,
+                       height: int) -> Iterator[np.ndarray]:
+    """Yield (3, H, W) uint8 channel-major frames (R, G, B planes).
+
+    ffmpeg's ``gbrp`` rawvideo output is already planar — the deinterleave
+    happens inside ffmpeg's (multithreaded) scaler instead of as an XLA
+    transpose on the TPU, and the planar layout is exactly the packed
+    wavefront kernel's row order (wavefront._skew_packed_planar), so NO
+    data movement remains between the reader and the scan. The cv2
+    fallback transposes on host."""
+    if not ffmpeg_available():
+        for frame in _read_frames_cv2(video_path):
+            yield np.ascontiguousarray(frame.transpose(2, 0, 1))
+        return
+    cmd = [FFMPEG, "-i", video_path, "-f", "rawvideo", "-pix_fmt", "gbrp",
+           "-v", "error", "-"]
+    frame_bytes = width * height * 3
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, bufsize=frame_bytes * 4)
+    try:
+        while True:
+            buf = proc.stdout.read(frame_bytes)
+            if len(buf) < frame_bytes:
+                break
+            gbr = np.frombuffer(buf, np.uint8).reshape(3, height, width)
+            yield gbr[[2, 0, 1]]  # gbrp plane order -> R, G, B
+    finally:
+        proc.stdout.close()
+        proc.wait()
+
+
 def read_single_frame(video_path: str, index: int = 0) -> Optional[np.ndarray]:
     """Decode one frame (by index) to an RGB array."""
     if not ffmpeg_available():
@@ -168,14 +199,17 @@ def read_single_frame(video_path: str, index: int = 0) -> Optional[np.ndarray]:
 
 def encode_command(output_path: str, width: int, height: int, fps: float,
                    source_path: Optional[str] = None,
-                   total_frames: Optional[int] = None):
+                   total_frames: Optional[int] = None,
+                   in_pix_fmt: str = "rgb24"):
     """The ffmpeg encode invocation — identical encoder settings to the
     reference (video_processor.py:361-377): libx264 preset medium crf 18
     yuv420p, audio (1:a?) and subtitles (1:s?) stream-copied from the
     source container, -vframes N so audio length cannot pad the video.
-    Factored out so tests can pin the flags without running ffmpeg."""
+    Factored out so tests can pin the flags without running ffmpeg.
+    ``in_pix_fmt='gbrp'`` takes planar input (the device path's native
+    output layout — the interleave happens inside ffmpeg)."""
     cmd = [FFMPEG or "ffmpeg", "-y",
-           "-f", "rawvideo", "-pix_fmt", "rgb24",
+           "-f", "rawvideo", "-pix_fmt", in_pix_fmt,
            "-s", f"{width}x{height}", "-framerate", f"{fps:.5f}", "-i", "-"]
     if source_path:
         cmd += ["-i", source_path,
@@ -197,8 +231,10 @@ class FrameWriter:
     encoder settings to the reference (video_processor.py:361-377)."""
 
     def __init__(self, output_path: str, width: int, height: int, fps: float,
-                 source_path: Optional[str] = None, total_frames: Optional[int] = None):
+                 source_path: Optional[str] = None,
+                 total_frames: Optional[int] = None, planar: bool = False):
         self.width, self.height = width, height
+        self.planar = planar
         self._cv2_writer = None
         self.proc = None
         if not ffmpeg_available():
@@ -213,11 +249,25 @@ class FrameWriter:
                   file=sys.stderr)
             return
         cmd = encode_command(output_path, width, height, fps,
-                             source_path, total_frames)
+                             source_path, total_frames,
+                             in_pix_fmt="gbrp" if planar else "rgb24")
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
                                      stderr=subprocess.DEVNULL)
 
     def write(self, frame: np.ndarray):
+        """``planar=False``: (H, W, 3) interleaved. ``planar=True``:
+        (3, H, W) R/G/B planes — piped to ffmpeg as gbrp with zero host
+        reshuffling; the cv2 fallback interleaves on host."""
+        if self.planar:
+            assert frame.shape == (3, self.height, self.width) \
+                and frame.dtype == np.uint8
+            if self._cv2_writer is not None:
+                hwc = np.ascontiguousarray(frame.transpose(1, 2, 0))
+                self._cv2_writer.write(np.ascontiguousarray(hwc[:, :, ::-1]))
+                return
+            self.proc.stdin.write(
+                np.ascontiguousarray(frame[[1, 2, 0]]).tobytes())
+            return
         assert frame.shape == (self.height, self.width, 3) and frame.dtype == np.uint8
         if self._cv2_writer is not None:
             self._cv2_writer.write(np.ascontiguousarray(frame[:, :, ::-1]))

@@ -168,9 +168,9 @@ class TestVideoFrames:
         calls = []
         orig = model.forward_u8
 
-        def counting_forward(in_t):
+        def counting_forward(in_t, precision=None):
             calls.append(in_t.shape[0])
-            return orig(in_t)
+            return orig(in_t, precision=precision)
 
         monkeypatch.setattr(model, "forward_u8", counting_forward)
 
@@ -182,8 +182,9 @@ class TestVideoFrames:
                                    pixelize_func=("neural", 16),
                                    batch_size=3))
         assert len(outs) == 6
-        # two batches of 3 -> two batched forwards, no per-frame fan-out
-        assert calls == [3, 3]
+        # two batches of 3 -> batched forwards only, no per-frame fan-out
+        # (the FIRST batch runs twice: the f32-vs-bf16 parity gate).
+        assert calls == [3, 3, 3]
         single = np.array(npix.pixelize(Image.fromarray(frames[0]), 16)
                           .convert("RGB"))
         batched = np.array(npix.pixelize_batch(
@@ -435,3 +436,36 @@ class TestFFmpegCommandParity:
         cmd_na = combine_cmd(["c0.mp4", "c1.mp4"], "out.mp4",
                              vertical=False, merge_audio=False)
         assert "amerge" not in " ".join(cmd_na)
+
+
+class TestPlanarIO:
+    def test_encode_command_planar_pix_fmt(self):
+        from dither_pie_tpu.pipeline import ffio
+
+        cmd = ffio.encode_command("o.mp4", 64, 48, 30.0, in_pix_fmt="gbrp")
+        i = cmd.index("-pix_fmt")
+        assert cmd[i + 1] == "gbrp"
+        # encoder settings unchanged (reference parity)
+        assert "libx264" in cmd and "yuv420p" in cmd
+
+    def test_planar_reader_cv2_roundtrip(self, tmp_path):
+        """The planar reader yields (3, H, W) R/G/B planes matching the
+        interleaved reader's frames."""
+        from dither_pie_tpu.pipeline import ffio
+
+        if not ffio.video_available():
+            pytest.skip("no video backend")
+        p = str(tmp_path / "v.mp4")
+        w_ = ffio.FrameWriter(p, 64, 48, 10.0)
+        rng = np.random.RandomState(3)
+        frames = [rng.randint(0, 256, (48, 64, 3), dtype=np.uint8)
+                  for _ in range(4)]
+        for f in frames:
+            w_.write(f)
+        assert w_.close()
+        inter = list(ffio.read_frames(p, 64, 48))
+        planar = list(ffio.read_frames_planar(p, 64, 48))
+        assert len(inter) == len(planar) == 4
+        for a, b in zip(inter, planar):
+            assert b.shape == (3, 48, 64)
+            np.testing.assert_array_equal(b, a.transpose(2, 0, 1))

@@ -416,3 +416,23 @@ def test_fullrow_skew_matches_lemma(s, b, h, w, dt):
     valid = (col >= 0) & (col < w) & (y_loc < h)
     mask = np.broadcast_to(valid[:, None, :], ref.shape)
     np.testing.assert_array_equal(out[mask], ref[mask])
+
+
+def test_planar_device_fn_matches_nhwc():
+    """The planar-in/planar-out device fn (ffmpeg-gbrp ingestion layout —
+    no XLA copy on either side of the kernels) is bit-identical to the
+    NHWC entry."""
+    rng = np.random.RandomState(16)
+    frames = rng.randint(0, 256, (8, 16, 20, 3)).astype(np.uint8)
+    planes = np.ascontiguousarray(frames.transpose(3, 0, 1, 2))
+    fn_n = wf.wavefront_device_fn("fixed", "floyd_steinberg", 16, 20,
+                                  PAL.shape[0], 8, interpret=True)
+    fn_p = wf.wavefront_device_fn("fixed", "floyd_steinberg", 16, 20,
+                                  PAL.shape[0], 8, interpret=True,
+                                  planar=True)
+    import jax.numpy as jnp
+
+    out_n = np.asarray(fn_n(jnp.asarray(frames), jnp.asarray(PAL)))
+    out_p = np.asarray(fn_p(jnp.asarray(planes), jnp.asarray(PAL)))
+    assert out_p.shape == (3, 8, 16, 20)
+    np.testing.assert_array_equal(out_p.transpose(1, 2, 3, 0), out_n)
