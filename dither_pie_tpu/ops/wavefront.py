@@ -51,6 +51,12 @@ from dither_pie_tpu.ops.ed_kernels import OSTROMOUKHOV_ARRAY, get_kernel
 
 LANE = 128
 
+# Largest palette the packed (v2) kernel serves: the lane-form search is
+# O(1) in program size, so the bound is VMEM for the (3*pp, lf) distance
+# temps, not unroll blowup. v1 (per-channel gather epilogue) covers the
+# rest.
+PACKED_PALETTE_MAX = 1024
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -514,15 +520,17 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     """images (B, H, W, 3) u8 or f32; aux (B, H, W) f32 or None. Returns
     (B, H, W, 3) uint8 palette colors (u8 end-to-end: f32 NHWC materializes
     with 42x tile padding on TPU)."""
-    if palette.shape[0] <= 256:
+    if palette.shape[0] <= PACKED_PALETTE_MAX:
         # Packed-layout kernel: full sublane tiles, verified bit-identical
         # to the native golden engine on hardware. Covers every mode
-        # (ostromoukhov via the halving-tree LUT) and palettes to 256
-        # colors (v1-form lane search above 64). Batches below 8 are
-        # padded up (Mosaic rejects sub-tile sublane register casts below
-        # 8 rows, and the padded lanes are free); oversized batches are
-        # split so the per-entry error scratch stays inside the VMEM
-        # budget. v1 remains only for >256-color palettes.
+        # (ostromoukhov via the halving-tree LUT) and palettes to 1024
+        # colors (running-min search to 64, lane-form + halving-tree above;
+        # the packed-color epilogue is palette-size-independent either
+        # way). Batches below 8 are padded up (Mosaic rejects sub-tile
+        # sublane register casts below 8 rows, and the padded lanes are
+        # free); oversized batches are split so the per-entry error scratch
+        # stays inside the VMEM budget. v1 remains only for >1024-color
+        # palettes.
         b, h, w, _ = images.shape
         nb_max = _max_packed_batch(mode, variant, h, w, palette.shape[0])
         if b > nb_max:
@@ -656,7 +664,7 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    if p <= 256:
+    if p <= PACKED_PALETTE_MAX:
         nb_max = _max_packed_batch(mode, variant, h, w, p)
         if batch > nb_max:
             raise ValueError(
@@ -689,9 +697,10 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                 [palette.astype(jnp.float32),
                  jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
             if pp > 64:
-                pal_dev = cols  # lane-search kernels take (pp, 3) columns
+                pal_dev = cols  # lane-form search takes (pp, 3) columns
             else:
-                pal_dev = jnp.repeat(cols.T, nb, axis=0)  # (3*nb, pp)
+                # Running-min form takes (3*nb, pp) channel-major rows.
+                pal_dev = jnp.repeat(cols.T, nb, axis=0)
             skew_fn = _skew_packed_planar if planar else _skew_packed
             sk = skew_fn(frames, s, lf, d_pad,
                          interpret=bool(interpret),
@@ -710,19 +719,18 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                 aux_op = jnp.asarray(_ostro_weight_table_packed())
             else:
                 aux_op = jnp.zeros((1, 8), jnp.float32)
-            idx_skew = call(dims, sk, pal_dev, aux_op)
-            out = _unskew_select_colors(idx_skew, palette.astype(jnp.float32),
-                                        s, lf, h, w, bool(interpret),
-                                        planar_out=planar)
+            col_skew = call(dims, sk, pal_dev, aux_op)
+            out = _unskew_unpack_colors(col_skew, s, lf, h, w,
+                                        bool(interpret), planar_out=planar)
             return out[:, :batch] if planar else out[:batch]
 
         return fn
 
-    # v1 fallback: >256-color palettes only (per-channel epilogue gathers;
-    # the lane-search unroll would balloon past 256 entries).
+    # v1 fallback: >1024-color palettes only (per-channel epilogue gathers).
     if planar:
-        raise ValueError("planar layout requires a palette <= 256 colors "
-                         "(the packed kernel path)")
+        raise ValueError(
+            "planar layout requires a palette <= "
+            f"{PACKED_PALETTE_MAX} colors (the packed kernel path)")
     call, s, h_frame, hp, pp, d_pad = _compiled(
         mode, variant, h, w, p, batch, float(lum_factor), float(col_factor),
         bool(interpret))
@@ -791,12 +799,6 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
         offsets = [(dx, dy) for dx, dy, _ in entries]
     clamp_before = mode in ("fixed", "ostromoukhov", "hybrid")
     has_aux_stream = mode in ("perceptual", "adaptive")
-    # Large palettes use the v1-form lane search (a (pp, lf) distance tile
-    # per batch row): the running-min loop's per-entry unroll would balloon
-    # the Mosaic program (pp * ~12 tile-ops * chunk), while the lane form
-    # is ~25 LARGE tile-ops per row — and it replicates the bit-verified v1
-    # op sequence exactly.
-    lane_search = pp > 64
     R = 3 * nb
     # Contributor-scan order: earlier rows first (dy desc), then x asc
     # (dx desc).
@@ -832,28 +834,46 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             if clamp_before:
                 cur = jnp.clip(cur, 0.0, 255.0)
 
-            if lane_search:
-                # v1-form search per batch row: (pp, lf) squared distances,
-                # first-wins argmin, one-hot chosen — the same op sequence
-                # (incl. the max(sq, 0) FMA guard) as _build_kernel, so the
-                # numerics match the golden engine bit-for-bit.
+            # Palette search. Small palettes (pp <= 64) run the running-min
+            # form on full (R, lf) tiles with the palette packed as
+            # (3*nb, pp) rows — measured faster than the lane form at P=32
+            # (15.8 vs 19.0 ms/1080p-batch16: no per-row sublane extracts).
+            # Larger palettes take a (pp, lf) squared-distance tile per
+            # batch row with first-wins argmin (the v1 bit-verified op
+            # sequence: squared diffs materialized then SLICE-added, which
+            # blocks FMA contraction) and a halving-tree select over the
+            # argmin index bits — O(log pp) chosen-color cost instead of
+            # the one-hot weighted sum.
+            if pp > 64:
                 p_iota = jax.lax.broadcasted_iota(jnp.int32, (pp, lf), 0)
+                tree = pp & (pp - 1) == 0  # pow2 pp (always, when bucketed)
                 idx_rows = []
                 chosen_rows = [[], [], []]
                 for b in range(nb):
-                    d2 = jnp.zeros((pp, lf), jnp.float32)
-                    for c in range(3):
-                        diff = (pal_ref[:, c:c + 1]
-                                - cur[c * nb + b:c * nb + b + 1, :])
-                        d2 = d2 + jnp.maximum(diff * diff, 0.0)
+                    diff3 = jnp.concatenate(
+                        [pal_ref[:, c:c + 1] - cur[c * nb + b:c * nb + b + 1]
+                         for c in range(3)], axis=0)  # (3*pp, lf)
+                    sq = diff3 * diff3
+                    d2 = (sq[0:pp] + sq[pp:2 * pp]) + sq[2 * pp:3 * pp]
                     dmin = jnp.min(d2, axis=0, keepdims=True)
                     idxb = jnp.min(jnp.where(d2 == dmin, p_iota, pp),
                                    axis=0, keepdims=True).astype(jnp.int32)
-                    onehot = (p_iota == idxb).astype(jnp.float32)
-                    for c in range(3):
-                        chosen_rows[c].append(
-                            jnp.sum(pal_ref[:, c:c + 1] * onehot,
-                                    axis=0, keepdims=True))
+                    if tree:
+                        for c in range(3):
+                            t = jnp.broadcast_to(pal_ref[:, c:c + 1],
+                                                 (pp, lf))
+                            for bit in range(pp.bit_length() - 2, -1, -1):
+                                half = 1 << bit
+                                cond = ((idxb >> bit) & 1) == 1
+                                t = jnp.where(cond, t[half:2 * half],
+                                              t[:half])
+                            chosen_rows[c].append(t)  # (1, lf)
+                    else:
+                        onehot = (p_iota == idxb).astype(jnp.float32)
+                        for c in range(3):
+                            chosen_rows[c].append(
+                                jnp.sum(pal_ref[:, c:c + 1] * onehot,
+                                        axis=0, keepdims=True))
                     idx_rows.append(idxb)
                 idx = jnp.concatenate(idx_rows, axis=0)  # (nb, lf)
                 chosen = jnp.concatenate(
@@ -868,18 +888,32 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                     pc = pal_ref[:, p:p + 1]  # (R, 1) broadcast over lanes
                     diff = cur - pc
                     sq = diff * diff
-                    dsts = sq[0:nb] + sq[nb:2 * nb] + sq[2 * nb:3 * nb]  # (nb, lf)
+                    dsts = sq[0:nb] + sq[nb:2 * nb] + sq[2 * nb:3 * nb]
                     m = dsts < d1
                     d1 = jnp.where(m, dsts, d1)
                     idx = jnp.where(m, p, idx)
                     # Exact 0/1 float blend (Mosaic rejects bool concats on
-                    # sub-tile sublane counts; x*1+y*0 is exact for finite x,y).
+                    # sub-tile sublane counts; x*1+y*0 is exact for finite
+                    # x,y).
                     mf = m.astype(jnp.float32)
                     m3 = jnp.concatenate([mf, mf, mf], axis=0)  # (R, lf)
-                    chosen = chosen + m3 * (jnp.broadcast_to(pc, (R, lf)) - chosen)
+                    chosen = chosen + m3 * (
+                        jnp.broadcast_to(pc, (R, lf)) - chosen)
 
             err = (cur - chosen) * active_f  # (R, lf)
-            idx_ref[j] = idx
+            # Output the chosen COLOR, channels packed into one i32
+            # (r<<16 | g<<8 | b): the epilogue unpacks with two shift/mask
+            # ops per channel instead of a palette select — same output
+            # shape/bytes, and the epilogue cost no longer scales with the
+            # palette size. Palette values are exact small integers, so the
+            # f32 -> i32 casts are exact. (idx stays in-register for modes
+            # that need it; inactive lanes pack garbage that the unskew
+            # slices away.)
+            del idx  # colors replace indices in the output stream
+            idx_ref[j] = (
+                (chosen[0:nb].astype(jnp.int32) << 16)
+                | (chosen[nb:2 * nb].astype(jnp.int32) << 8)
+                | chosen[2 * nb:3 * nb].astype(jnp.int32))
 
             if has_aux_stream:
                 a = aux_ref[j]  # (nb, lf)
@@ -1397,6 +1431,94 @@ def _unskew_select_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _unskew_unpack_call(nb: int, lf: int, d_t: int, s: int, wxp: int,
+                        interpret: bool):
+    """Fused unskew + channel unpack: (d_t, nb, lf) i32 PACKED COLORS
+    (r<<16 | g<<8 | b, emitted by the packed scan kernel) ->
+    (3, nb, lf, wxp) u8 planes.
+
+    Same window/transpose/roll construction as _unskew_select_call, with
+    the chained palette select replaced by two shift/mask ops per channel —
+    the epilogue cost no longer scales with the palette size (the p=256
+    chained select was ~8 ms per 1080p x16 batch; this is palette-free)."""
+    nbb = 8
+    n_in = -(-(128 + 127 * s) // 128)
+    db = d_t // 128
+    if db < n_in:
+        raise ValueError(f"d_t={d_t} too small for unskew windows ({n_in})")
+    n = n_in * 128
+    cbits = (n - 1).bit_length()
+
+    def _t0(gy, gx):
+        return jnp.clip(gx + s * gy, 0, db - n_in)
+
+    def kernel(*refs):
+        in_refs = refs[:n_in]
+        out_ref = refs[n_in]
+        gy = pl.program_id(1)
+        gx = pl.program_id(2)
+        c0 = (gx + s * gy - _t0(gy, gx)) * 128
+        y_sub = jax.lax.broadcasted_iota(jnp.int32, (128, n), 0)
+        t_rot = jax.lax.rem(c0 + s * y_sub, n)
+        j0 = 1 if s % 2 == 0 else 0  # even skew: t_rot provably even
+        bits = [(t_rot >> j) & 1 == 1 for j in range(cbits)]
+        for i in range(nbb):
+            w = jnp.concatenate([r[:, i, :].T for r in in_refs], axis=1)
+            for j in range(j0, cbits):
+                w = jnp.where(bits[j], jnp.roll(w, -(1 << j), axis=1), w)
+            packed = w[:, :128]  # (128 y, 128 x) packed colors
+            out_ref[0, i] = ((packed >> 16) & 255).astype(jnp.uint8)
+            out_ref[1, i] = ((packed >> 8) & 255).astype(jnp.uint8)
+            out_ref[2, i] = (packed & 255).astype(jnp.uint8)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb // nbb, lf // 128, wxp // 128),
+        in_specs=[
+            pl.BlockSpec((128, nbb, 128),
+                         (lambda gb, gy, gx, t=t: (_t0(gy, gx) + t, gb, gy)),
+                         memory_space=pltpu.VMEM)
+            for t in range(n_in)
+        ],
+        out_specs=pl.BlockSpec((3, nbb, 128, 128),
+                               lambda gb, gy, gx: (0, gb, gy, gx),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, nb, lf, wxp), jnp.uint8),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+    )
+
+
+def _unskew_unpack_colors(col_skew: jnp.ndarray, s: int, lf: int, h: int,
+                          w: int, interpret: bool,
+                          planar_out: bool = False) -> jnp.ndarray:
+    """(d_pad, B, lf) i32 packed colors -> (B, H, W, 3) u8 — or (3, B, H, W)
+    planes with ``planar_out``. Fused unskew+unpack kernel when shapes
+    qualify; otherwise the stride-lemma unskew + XLA shift/mask unpack."""
+    d_pad = col_skew.shape[0]
+    b = col_skew.shape[1]
+    wxp = _round_up(w, 128)
+    n_in = -(-(128 + 127 * s) // 128)
+    if (not interpret and d_pad % 128 == 0 and lf % 128 == 0
+            and b % 8 == 0 and d_pad // 128 >= n_in and wxp <= d_pad):
+        call = _unskew_unpack_call(b, lf, d_pad, s, wxp, False)
+        planes = call(*([col_skew] * n_in))  # (3, B, lf, wxp)
+        if planar_out:
+            return planes[:, :, :h, :w]
+        return jnp.stack([planes[0], planes[1], planes[2]],
+                         axis=-1)[:, :h, :w]
+    packed = _unskew_idx_packed(col_skew, s, lf, h, w, interpret=interpret)
+    planes = [((packed >> 16) & 255).astype(jnp.uint8),
+              ((packed >> 8) & 255).astype(jnp.uint8),
+              (packed & 255).astype(jnp.uint8)]
+    if planar_out:
+        return jnp.stack(planes, axis=0)
+    return jnp.stack(planes, axis=-1)
+
+
 def _unskew_select_colors(idx_skew: jnp.ndarray, palette: jnp.ndarray,
                           s: int, lf: int, h: int, w: int,
                           interpret: bool,
@@ -1481,9 +1603,10 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                              interpret=bool(interpret),
                              out_dtype=_stream_dtype(images, bool(interpret)))
     if pp > 64:
-        # Lane-search kernels take the palette in v1 (pp, 3) column form.
+        # Lane-form search takes the palette in (pp, 3) column form.
         pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
     else:
+        # Running-min form takes (3*nb, pp) channel-major rows.
         pal_dev = jnp.asarray(
             _pad_palette_packed(palette.astype(np.float32), pp, b))
     if mode in ("perceptual", "adaptive"):
@@ -1496,7 +1619,6 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
     else:
         aux_skew = jnp.zeros((1, 8), jnp.float32)
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
-    idx_skew = call(dims, img_skew, pal_dev, aux_skew)
-    out = _unskew_select_colors(idx_skew, jnp.asarray(palette, jnp.float32),
-                                s, lf, h, w, bool(interpret))
+    col_skew = call(dims, img_skew, pal_dev, aux_skew)
+    out = _unskew_unpack_colors(col_skew, s, lf, h, w, bool(interpret))
     return np.asarray(out)

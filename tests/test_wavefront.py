@@ -236,6 +236,21 @@ def test_packed_large_palette_lane_search():
     assert np.all(o[0] == n, axis=-1).mean() > 0.95
 
 
+def test_packed_past_256_colors():
+    """The packed path now serves palettes to PACKED_PALETTE_MAX (1024):
+    P=300 buckets to pp=512 and exercises the halving-tree select at full
+    depth."""
+    rng = np.random.RandomState(21)
+    imgs = rng.randint(0, 256, (2, 16, 20, 3)).astype(np.float32)
+    pal = np.unique(rng.randint(0, 256, (1200, 3)), axis=0)[:300].astype(
+        np.float32)
+    assert pal.shape[0] == 300
+    o = wf._run("fixed", imgs.copy(), pal, variant="floyd_steinberg")
+    for i in range(2):
+        n = ed_host.ed_fixed(imgs[i].copy(), pal, "floyd_steinberg", False)
+        assert np.all(o[i] == n, axis=-1).mean() > 0.95, i
+
+
 def test_run_routes_packed_and_splits_batches(monkeypatch):
     """_run routes every mode/palette <= 256 colors to the packed kernel
     and splits batches that exceed the VMEM-derived cap exactly."""

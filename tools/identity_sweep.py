@@ -111,6 +111,16 @@ def main():
                   ed_host.ed_ostromoukhov_fast(imgs[3].copy(), pal256,
                                                False))
 
+            # Past-256 palettes (cap is now 1024): 512 colors exercises the
+            # halving-tree select at depth 9 on hardware.
+            pal512 = np.unique(prng.randint(0, 256, (1400, 3)),
+                               axis=0)[:512].astype(np.float32)
+            out = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
+                                        "floyd_steinberg")
+            check(f"{tag} {h}p/fs-pal512", out[3],
+                  ed_host.ed_fixed_fast(imgs[3].copy(), pal512,
+                                        "floyd_steinberg", False))
+
     print("ALL BIT-IDENTICAL" if not bad else f"DIVERGENT: {bad}")
     return 0 if not bad else 1
 
