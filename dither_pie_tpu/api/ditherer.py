@@ -369,6 +369,17 @@ class PolkaDotDitherStrategy(MatrixDitherStrategy):
 # -------------------- Error-diffusion family --------------------
 
 
+def _require_planar_wavefront(serpentine: bool = False):
+    """The planar batch path has no host fallback (it exists purely to feed
+    the packed wavefront kernel zero-copy); callers gate on
+    ImageDitherer.supports_planar_batch first."""
+    wf = None if serpentine else _wavefront_or_none()
+    if wf is None:
+        raise RuntimeError("planar batches require the wavefront device "
+                           "path (non-serpentine, JAX available)")
+    return wf
+
+
 def _wavefront_or_none():
     """Late import so the Pallas module is optional during bring-up."""
     if _runtime.ed_backend() != "wavefront":
@@ -464,6 +475,14 @@ class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
                                               self.serpentine),
             list(images), images)
 
+    def dither_batch_planar(self, planes, palette_arr):
+        """(3, B, H, W) channel-major planes in, planes out — the zero-copy
+        ffmpeg-gbrp video flow (wavefront packed kernel only)."""
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = _require_planar_wavefront(self.serpentine)
+        return wf.ed_batch_wavefront(np.asarray(planes), pal, "fixed",
+                                     self.variant, planar=True)
+
 
 class OstromoukhovDitherStrategy(BaseDitherStrategy):
     """Ostromoukhov variable-coefficient error diffusion (SIGGRAPH 2001)."""
@@ -506,6 +525,12 @@ class OstromoukhovDitherStrategy(BaseDitherStrategy):
             lambda im: _ed_host.ed_ostromoukhov_fast(
                 im.astype(np.float32).copy(), pal, self.serpentine),
             list(images), images)
+
+    def dither_batch_planar(self, planes, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = _require_planar_wavefront(self.serpentine)
+        return wf.ed_batch_wavefront(np.asarray(planes), pal,
+                                     "ostromoukhov", planar=True)
 
 
 class HybridDitherStrategy(BaseDitherStrategy):
@@ -562,6 +587,13 @@ class HybridDitherStrategy(BaseDitherStrategy):
                                           self.lum_factor, self.col_factor),
             list(images), images)
 
+    def dither_batch_planar(self, planes, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = _require_planar_wavefront()
+        return wf.ed_batch_wavefront(np.asarray(planes), pal, "hybrid",
+                                     lum_factor=self.lum_factor,
+                                     col_factor=self.col_factor, planar=True)
+
 
 class PerceptualDitherStrategy(BaseDitherStrategy):
     """FS diffusion with luminance-scaled error weights (no parameters)."""
@@ -590,6 +622,12 @@ class PerceptualDitherStrategy(BaseDitherStrategy):
         return _threaded_frames(
             lambda im: _ed_host.ed_perceptual(im.astype(np.float32).copy(), pal),
             list(images), images)
+
+    def dither_batch_planar(self, planes, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = _require_planar_wavefront()
+        return wf.ed_batch_wavefront(np.asarray(planes), pal, "perceptual",
+                                     planar=True)
 
 
 class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
@@ -654,6 +692,18 @@ class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
         return _threaded_frames(
             lambda t: _ed_host.ed_adaptive(t[0].astype(np.float32).copy(), pal, t[1]),
             list(zip(images, gates)), images)
+
+    def dither_batch_planar(self, planes, palette_arr):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        wf = _require_planar_wavefront()
+        planes = np.asarray(planes)
+        gray = (np.float32(0.299) * planes[0] + np.float32(0.587) * planes[1]
+                + np.float32(0.114) * planes[2]).astype(np.float32)  # (B,H,W)
+        gates = np.stack([
+            _adaptive.variance_map_np(g, self.window_radius) >= self.var_threshold
+            for g in gray]).astype(np.float32)
+        return wf.ed_batch_wavefront(planes, pal, "adaptive", aux=gates,
+                                     planar=True)
 
 
 class RiemersmaDitherStrategy(BaseDitherStrategy):
@@ -1072,12 +1122,36 @@ class ImageDitherer:
             out_8 = np.clip(out_srgb_01 * 255.0, 0, 255).astype(np.uint8)
         return out_8
 
-    def apply_dithering_batch(self, arrs_srgb_8: np.ndarray) -> np.ndarray:
+    def supports_planar_batch(self) -> bool:
+        """True when ``apply_dithering_batch(..., planar=True)`` is
+        available: an ED strategy with a wavefront planar kernel (palette
+        within the packed cap, non-serpentine). The video pipeline uses
+        this to pick zero-copy ffmpeg-gbrp ingestion."""
+        wf = _wavefront_or_none()
+        if wf is None:
+            return False
+        if self.palette is not None and len(self.palette) > wf.PACKED_PALETTE_MAX:
+            return False
+        mode = self.dither_mode or DitherMode.NONE
+        try:
+            strategy = self._get_dither_strategy(mode)
+        except Exception:
+            return False
+        if not hasattr(strategy, "dither_batch_planar"):
+            return False
+        return not getattr(strategy, "serpentine", False)
+
+    def apply_dithering_batch(self, arrs_srgb_8: np.ndarray,
+                              planar: bool = False) -> np.ndarray:
         """Batched device path: (B, H, W, 3) uint8 -> (B, H, W, 3) uint8.
 
         Requires an explicit palette (the video pipeline computes one from
         the first frame, matching reference semantics). Dispatches to each
         strategy's device batch kernel.
+
+        ``planar=True``: frames are (3, B, H, W) channel-major planes, in
+        and out (the ffmpeg-gbrp zero-copy layout); only strategies with a
+        planar wavefront kernel accept it (``supports_planar_batch``).
         """
         if self.palette is None:
             raise ValueError("apply_dithering_batch requires a palette; "
@@ -1095,7 +1169,10 @@ class ImageDitherer:
 
         mode = self.dither_mode or DitherMode.NONE
         strategy = self._get_dither_strategy(mode)
-        out = strategy.dither_batch(work, palette_arr)
+        if planar:
+            out = strategy.dither_batch_planar(work, palette_arr)
+        else:
+            out = strategy.dither_batch(work, palette_arr)
         out8 = out.astype(np.uint8)
 
         if self.use_gamma:

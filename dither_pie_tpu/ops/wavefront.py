@@ -516,10 +516,44 @@ def _max_packed_batch(mode: str, variant: str, h: int, w: int, p: int) -> int:
 
 def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
          aux: Optional[np.ndarray] = None, lum_factor: float = 1.0,
-         col_factor: float = 0.2, interpret: Optional[bool] = None) -> np.ndarray:
+         col_factor: float = 0.2, interpret: Optional[bool] = None,
+         planar: bool = False) -> np.ndarray:
     """images (B, H, W, 3) u8 or f32; aux (B, H, W) f32 or None. Returns
     (B, H, W, 3) uint8 palette colors (u8 end-to-end: f32 NHWC materializes
-    with 42x tile padding on TPU)."""
+    with 42x tile padding on TPU).
+
+    ``planar=True``: images are (3, B, H, W) channel-major planes (the
+    ffmpeg-gbrp ingestion layout) and the output stays planar — no XLA
+    copy on either side of the kernels. Packed-kernel path only."""
+    if planar and palette.shape[0] > PACKED_PALETTE_MAX:
+        raise ValueError(
+            "planar layout requires a palette <= "
+            f"{PACKED_PALETTE_MAX} colors (the packed kernel path)")
+    if planar:
+        _, b, h, w = images.shape
+        nb_max = _max_packed_batch(mode, variant, h, w, palette.shape[0])
+        if b > nb_max:
+            outs = [
+                _run(mode, images[:, i:i + nb_max], palette, variant=variant,
+                     aux=None if aux is None else aux[i:i + nb_max],
+                     lum_factor=lum_factor, col_factor=col_factor,
+                     interpret=interpret, planar=True)
+                for i in range(0, b, nb_max)
+            ]
+            return np.concatenate(outs, axis=1)
+        if b < 8:
+            pad = np.concatenate(
+                [images, np.repeat(images[:, -1:], 8 - b, axis=1)], axis=1)
+            if aux is not None:
+                aux = np.concatenate(
+                    [aux, np.repeat(aux[-1:], 8 - b, axis=0)], axis=0)
+            out = _run_packed(mode, pad, palette, variant=variant, aux=aux,
+                              lum_factor=lum_factor, col_factor=col_factor,
+                              interpret=interpret, planar=True)
+            return out[:, :b]
+        return _run_packed(mode, images, palette, variant=variant, aux=aux,
+                           lum_factor=lum_factor, col_factor=col_factor,
+                           interpret=interpret, planar=True)
     if palette.shape[0] <= PACKED_PALETTE_MAX:
         # Packed-layout kernel: full sublane tiles, verified bit-identical
         # to the native golden engine on hardware. Covers every mode
@@ -625,19 +659,27 @@ def ed_batch_wavefront(images: np.ndarray, palette: np.ndarray, mode: str = "fix
     DITHER_PIE_TPU_AUTO_MESH=1 shards the batch over every local device
     for EVERY mode (fixed / ostromoukhov / hybrid / perceptual / adaptive;
     aux streams shard with their frames) — bit-identical to the
-    single-chip path, zero steady-state collectives."""
-    if mode in ("perceptual",):
-        gray = (np.float32(0.299) * images[..., 0] + np.float32(0.587) * images[..., 1]
-                + np.float32(0.114) * images[..., 2])
-        kw["aux"] = np.float32(0.5) + np.float32(0.5) * (gray / np.float32(255.0))
-    from dither_pie_tpu.parallel.auto import maybe_sharded_ed
+    single-chip path, zero steady-state collectives.
 
-    out = maybe_sharded_ed(images, palette, mode=mode, variant=variant,
-                           aux=kw.get("aux"),
-                           lum_factor=kw.get("lum_factor", 1.0),
-                           col_factor=kw.get("col_factor", 0.2))
-    if out is not None:
-        return out
+    ``planar=True``: images are (3, B, H, W) channel-major planes and the
+    output stays planar (the zero-copy ffmpeg-gbrp video flow). The
+    planar path runs single-chip (auto-mesh shards the NHWC entry)."""
+    planar = bool(kw.get("planar", False))
+    if mode in ("perceptual",):
+        ch = ((images[0], images[1], images[2]) if planar
+              else (images[..., 0], images[..., 1], images[..., 2]))
+        gray = (np.float32(0.299) * ch[0] + np.float32(0.587) * ch[1]
+                + np.float32(0.114) * ch[2])
+        kw["aux"] = np.float32(0.5) + np.float32(0.5) * (gray / np.float32(255.0))
+    if not planar:
+        from dither_pie_tpu.parallel.auto import maybe_sharded_ed
+
+        out = maybe_sharded_ed(images, palette, mode=mode, variant=variant,
+                               aux=kw.get("aux"),
+                               lum_factor=kw.get("lum_factor", 1.0),
+                               col_factor=kw.get("col_factor", 0.2))
+        if out is not None:
+            return out
     return _run(mode, images, palette, variant=variant, **kw)
 
 
@@ -818,6 +860,17 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
         y_lane = jax.lax.broadcasted_iota(jnp.int32, (1, lf), 1)
         base = g * chunk
 
+        dense_tree = pp > 64 and (pp & (pp - 1) == 0)
+        if dense_tree:
+            # Packed-i32 palette column (r<<16 | g<<8 | b) for the dense
+            # path's chosen-color tree. Palette values are exact small
+            # integers so the casts are exact; sentinel padding rows pack
+            # garbage (wrapping shifts) but their distances are ~1e12, so
+            # the first-wins argmin can never select them.
+            pal_packed = ((pal_ref[:, 0:1].astype(jnp.int32) << 16)
+                          | (pal_ref[:, 1:2].astype(jnp.int32) << 8)
+                          | pal_ref[:, 2:3].astype(jnp.int32))  # (pp, 1)
+
         for j in range(chunk):  # static unroll; slot indices static
             slot = j % n_slots
             d = base + j
@@ -846,8 +899,8 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             # the one-hot weighted sum.
             if pp > 64:
                 p_iota = jax.lax.broadcasted_iota(jnp.int32, (pp, lf), 0)
-                tree = pp & (pp - 1) == 0  # pow2 pp (always, when bucketed)
                 idx_rows = []
+                packed_rows = []
                 chosen_rows = [[], [], []]
                 for b in range(nb):
                     diff3 = jnp.concatenate(
@@ -858,16 +911,23 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                     dmin = jnp.min(d2, axis=0, keepdims=True)
                     idxb = jnp.min(jnp.where(d2 == dmin, p_iota, pp),
                                    axis=0, keepdims=True).astype(jnp.int32)
-                    if tree:
-                        for c in range(3):
-                            t = jnp.broadcast_to(pal_ref[:, c:c + 1],
-                                                 (pp, lf))
-                            for bit in range(pp.bit_length() - 2, -1, -1):
-                                half = 1 << bit
-                                cond = ((idxb >> bit) & 1) == 1
-                                t = jnp.where(cond, t[half:2 * half],
-                                              t[:half])
-                            chosen_rows[c].append(t)  # (1, lf)
+                    if dense_tree:
+                        # ONE halving tree over the packed-i32 palette
+                        # instead of three per-channel f32 trees: the
+                        # output store wants the packed color anyway, and
+                        # the channels unpack exactly with shift/mask
+                        # (~3x less select work per pixel).
+                        t = jnp.broadcast_to(pal_packed, (pp, lf))
+                        for bit in range(pp.bit_length() - 2, -1, -1):
+                            half = 1 << bit
+                            cond = ((idxb >> bit) & 1) == 1
+                            t = jnp.where(cond, t[half:2 * half], t[:half])
+                        packed_rows.append(t)  # (1, lf) i32
+                        chosen_rows[0].append(
+                            ((t >> 16) & 255).astype(jnp.float32))
+                        chosen_rows[1].append(
+                            ((t >> 8) & 255).astype(jnp.float32))
+                        chosen_rows[2].append((t & 255).astype(jnp.float32))
                     else:
                         onehot = (p_iota == idxb).astype(jnp.float32)
                         for c in range(3):
@@ -910,10 +970,13 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             # that need it; inactive lanes pack garbage that the unskew
             # slices away.)
             del idx  # colors replace indices in the output stream
-            idx_ref[j] = (
-                (chosen[0:nb].astype(jnp.int32) << 16)
-                | (chosen[nb:2 * nb].astype(jnp.int32) << 8)
-                | chosen[2 * nb:3 * nb].astype(jnp.int32))
+            if pp > 64 and dense_tree:
+                idx_ref[j] = jnp.concatenate(packed_rows, axis=0)  # (nb, lf)
+            else:
+                idx_ref[j] = (
+                    (chosen[0:nb].astype(jnp.int32) << 16)
+                    | (chosen[nb:2 * nb].astype(jnp.int32) << 8)
+                    | chosen[2 * nb:3 * nb].astype(jnp.int32))
 
             if has_aux_stream:
                 a = aux_ref[j]  # (nb, lf)
@@ -1587,10 +1650,13 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                 variant: str = "", aux: Optional[np.ndarray] = None,
                 lum_factor: float = 1.0, col_factor: float = 0.2,
                 interpret: Optional[bool] = None,
-                bucket: bool = True) -> np.ndarray:
+                bucket: bool = True, planar: bool = False) -> np.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    b, h, w, _ = images.shape
+    if planar:
+        _, b, h, w = images.shape  # (3, B, H, W) channel-major planes
+    else:
+        b, h, w, _ = images.shape
     p = palette.shape[0]
     s, n_slots = _scan_params(mode, variant)
     chunk = _chunk_for(n_slots)
@@ -1599,9 +1665,10 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                             float(lum_factor), float(col_factor),
                             bool(interpret))
 
-    img_skew = _skew_packed(jnp.asarray(images), s, lf, d_pad,
-                             interpret=bool(interpret),
-                             out_dtype=_stream_dtype(images, bool(interpret)))
+    skew_fn = _skew_packed_planar if planar else _skew_packed
+    img_skew = skew_fn(jnp.asarray(images), s, lf, d_pad,
+                       interpret=bool(interpret),
+                       out_dtype=_stream_dtype(images, bool(interpret)))
     if pp > 64:
         # Lane-form search takes the palette in (pp, 3) column form.
         pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
@@ -1620,5 +1687,6 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
         aux_skew = jnp.zeros((1, 8), jnp.float32)
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     col_skew = call(dims, img_skew, pal_dev, aux_skew)
-    out = _unskew_unpack_colors(col_skew, s, lf, h, w, bool(interpret))
+    out = _unskew_unpack_colors(col_skew, s, lf, h, w, bool(interpret),
+                                planar_out=planar)
     return np.asarray(out)

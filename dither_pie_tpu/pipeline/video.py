@@ -39,13 +39,18 @@ __all__ = ["VideoProcessor", "NeuralPixelizer", "pixelize_regular",
            "process_single_video", "process_frames"]
 
 
-def _apply_final_resize_to_frame(arr: np.ndarray, multiplier: int) -> np.ndarray:
-    """Integer nearest-neighbor upscale, even dims (yuv420p requirement)."""
-    h, w, _ = arr.shape
-    out = np.repeat(np.repeat(arr, multiplier, axis=0), multiplier, axis=1)
-    nh, nw = out.shape[:2]
+def _apply_final_resize_to_frame(arr: np.ndarray, multiplier: int,
+                                 planar: bool = False) -> np.ndarray:
+    """Integer nearest-neighbor upscale, even dims (yuv420p requirement).
+    ``planar``: arr is (3, H, W) channel-major planes."""
+    ha, wa = (1, 2) if planar else (0, 1)
+    out = np.repeat(np.repeat(arr, multiplier, axis=ha), multiplier, axis=wa)
+    nh, nw = out.shape[ha], out.shape[wa]
+    pads = [(0, 0)] * 3
     if nh % 2 or nw % 2:
-        out = np.pad(out, ((0, nh % 2), (0, nw % 2), (0, 0)), mode="edge")
+        pads[ha] = (0, nh % 2)
+        pads[wa] = (0, nw % 2)
+        out = np.pad(out, pads, mode="edge")
     return out
 
 
@@ -111,6 +116,7 @@ def process_frames(
     retries: int = 2,
     prefetch: bool = True,
     overlap: bool = True,
+    planar: bool = False,
 ) -> Iterator[np.ndarray]:
     """Core streaming transform: frames in -> processed frames out.
 
@@ -125,7 +131,16 @@ def process_frames(
     I/O with compute the same way (video_processor.py:304-341); a
     serialized device loop leaves the chip idle during every transfer.
     Results are emitted strictly in order either way.
+
+    ``planar=True``: frames are (3, H, W) channel-major planes in AND out
+    (the zero-copy ffmpeg-gbrp flow — see ffio.read_frames_planar /
+    FrameWriter(planar=True)); requires a ditherer whose strategy has a
+    planar wavefront kernel (``ImageDitherer.supports_planar_batch``) and
+    no pixelize stage (pixelization operates on interleaved images).
     """
+    if planar and pixelize_func:
+        raise ValueError("planar frames do not compose with a pixelize "
+                         "stage; use the interleaved flow")
     if prefetch:
         frames = _prefetch(frames, depth=2 * batch_size)
     method, max_size = pixelize_func if pixelize_func else (None, 64)
@@ -141,11 +156,12 @@ def process_frames(
         # tunnel) and the batch axis stays mesh-shardable.
         n = len(arrs)
         padded = arrs + [arrs[-1]] * (batch_size - n) if n < batch_size else arrs
-        stacked = np.stack(padded)
+        # Planar frames are (3, H, W); the batch axis is axis 1 (3, B, H, W).
+        stacked = np.stack(padded, axis=1) if planar else np.stack(padded)
         try:
             with stage("video.dither_batch"):
-                out = ditherer.apply_dithering_batch(stacked)
-            return [out[i] for i in range(n)]
+                out = ditherer.apply_dithering_batch(stacked, planar=planar)
+            return [out[:, i] if planar else out[i] for i in range(n)]
         except Exception as e:
             logger.warning(f"Batch dither failed ({e}); retrying per frame")
             results: List[Optional[np.ndarray]] = []
@@ -153,7 +169,11 @@ def process_frames(
                 ok = None
                 for _ in range(retries):
                     try:
-                        ok = ditherer.apply_dithering_batch(arr[None])[0]
+                        if planar:
+                            ok = ditherer.apply_dithering_batch(
+                                arr[:, None], planar=True)[:, 0]
+                        else:
+                            ok = ditherer.apply_dithering_batch(arr[None])[0]
                         break
                     except Exception as ee:
                         logger.error(f"Frame failed: {ee}", exc_info=False)
@@ -174,7 +194,8 @@ def process_frames(
                 last_good = res
             emit = res
             if final_resize_multiplier:
-                emit = _apply_final_resize_to_frame(emit, final_resize_multiplier)
+                emit = _apply_final_resize_to_frame(emit, final_resize_multiplier,
+                                                    planar=planar)
             # Backfill any leading failures with this first good frame.
             for _ in range(pending_patch):
                 done += 1
@@ -280,7 +301,14 @@ class VideoProcessor:
             total = info.get("frame_count")
             self._report_progress(0.0, "Initializing video processing...")
 
-            reader = ffio.read_frames(input_path, w, h)
+            # Zero-copy planar flow: ffmpeg emits gbrp planes, the packed
+            # wavefront kernel consumes/produces planes natively, and the
+            # encoder takes gbrp back — no interleave anywhere (the
+            # reference pays a per-frame HWC<->planar shuffle implicitly in
+            # its PNG round-trip, video_processor.py:172-390).
+            use_planar = pixelize_func is None and ditherer.supports_planar_batch()
+            reader = (ffio.read_frames_planar(input_path, w, h) if use_planar
+                      else ffio.read_frames(input_path, w, h))
             writer: Optional[ffio.FrameWriter] = None
             n_written = 0
 
@@ -289,12 +317,14 @@ class VideoProcessor:
                     reader, ditherer, pixelize_func=pixelize_func,
                     final_resize_multiplier=final_resize_multiplier,
                     batch_size=batch_size or self.batch_size,
-                    progress=self._report_progress, total_frames=total):
+                    progress=self._report_progress, total_frames=total,
+                    planar=use_planar):
                 if writer is None:
-                    oh, ow = out.shape[:2]
+                    oh, ow = out.shape[1:3] if use_planar else out.shape[:2]
                     writer = ffio.FrameWriter(output_path, ow, oh, fps,
                                               source_path=input_path,
-                                              total_frames=total)
+                                              total_frames=total,
+                                              planar=use_planar)
                 writer.write(out)
                 n_written += 1
 
@@ -458,7 +488,11 @@ class VideoProcessor:
                 logger.info(f"Resuming: {len(completed)}/{len(mine)} "
                             f"of this host's segments done")
 
-            reader = ffio.read_frames(input_path, w, h)
+            # Same zero-copy planar selection as the single-pass flow.
+            use_planar = (pixelize_func is None
+                          and ditherer.supports_planar_batch())
+            reader = (ffio.read_frames_planar(input_path, w, h) if use_planar
+                      else ffio.read_frames(input_path, w, h))
             frames_done = 0
             for seg in range(n_seg):
                 start = seg * segment_size
@@ -482,10 +516,11 @@ class VideoProcessor:
                         itertools.islice(reader, count), ditherer,
                         pixelize_func=pixelize_func,
                         final_resize_multiplier=final_resize_multiplier,
-                        batch_size=batch_size):
+                        batch_size=batch_size, planar=use_planar):
                     if writer is None:
-                        oh, ow = out.shape[:2]
-                        writer = ffio.FrameWriter(tmp, ow, oh, fps)
+                        oh, ow = out.shape[1:3] if use_planar else out.shape[:2]
+                        writer = ffio.FrameWriter(tmp, ow, oh, fps,
+                                                  planar=use_planar)
                     writer.write(out)
                     n_written += 1
                 if writer is None or not writer.close() or n_written != count:

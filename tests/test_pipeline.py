@@ -215,11 +215,11 @@ class TestVideoFrames:
         calls = {"n": 0}
         orig = d.apply_dithering_batch
 
-        def flaky(stacked):
+        def flaky(stacked, **kw):
             calls["n"] += 1
             if calls["n"] == 2:  # fail the second BATCH entirely
                 raise RuntimeError("boom")
-            return orig(stacked)
+            return orig(stacked, **kw)
 
         monkeypatch.setattr(d, "apply_dithering_batch", flaky)
         outs = list(process_frames(self._frames(8), d, batch_size=2,

@@ -451,3 +451,54 @@ def test_planar_device_fn_matches_nhwc():
     out_p = np.asarray(fn_p(jnp.asarray(planes), jnp.asarray(PAL)))
     assert out_p.shape == (3, 8, 16, 20)
     np.testing.assert_array_equal(out_p.transpose(1, 2, 3, 0), out_n)
+
+
+def test_planar_batch_entry_matches_nhwc():
+    """ed_batch_wavefront(planar=True) — the video pipeline's zero-copy
+    entry — must be bit-identical to the NHWC entry for every covered
+    mode, including the dense (>64-color) palette search, sub-8 batches,
+    and VMEM-cap batch splitting."""
+    rng = np.random.RandomState(33)
+    imgs = rng.randint(0, 256, (9, 17, 21, 3)).astype(np.uint8)
+    planes = np.ascontiguousarray(imgs.transpose(3, 0, 1, 2))
+    pal100 = np.unique(rng.randint(0, 256, (300, 3)), axis=0)[:100].astype(
+        np.float32)
+
+    for mode, variant, pal in [
+        ("fixed", "floyd_steinberg", PAL),
+        ("ostromoukhov", "", PAL),
+        ("perceptual", "", PAL),
+        ("fixed", "floyd_steinberg", pal100),  # dense lane search
+    ]:
+        a = wf.ed_batch_wavefront(imgs, pal, mode, variant)
+        b = wf.ed_batch_wavefront(planes, pal, mode, variant, planar=True)
+        assert b.shape == (3,) + imgs.shape[:3], (mode, b.shape)
+        np.testing.assert_array_equal(a, b.transpose(1, 2, 3, 0)), mode
+
+    # Sub-8 batches pad along the planar batch axis.
+    a = wf.ed_batch_wavefront(imgs[:3], PAL, "fixed", "stucki")
+    b = wf.ed_batch_wavefront(planes[:, :3], PAL, "fixed", "stucki",
+                              planar=True)
+    np.testing.assert_array_equal(a, b.transpose(1, 2, 3, 0))
+
+
+def test_planar_batch_split_matches(monkeypatch):
+    """Oversized planar batches split along axis 1 against the VMEM cap."""
+    rng = np.random.RandomState(34)
+    imgs = rng.randint(0, 256, (10, 12, 14, 3)).astype(np.uint8)
+    planes = np.ascontiguousarray(imgs.transpose(3, 0, 1, 2))
+    whole = wf._run("fixed", planes, PAL, variant="floyd_steinberg",
+                    planar=True)
+    monkeypatch.setattr(wf, "_max_packed_batch", lambda *a, **k: 8)
+    split = wf._run("fixed", planes, PAL, variant="floyd_steinberg",
+                    planar=True)
+    np.testing.assert_array_equal(whole, split)
+
+
+def test_planar_rejects_oversized_palette():
+    rng = np.random.RandomState(35)
+    planes = rng.randint(0, 256, (3, 8, 8, 8)).astype(np.uint8)
+    pal = rng.randint(0, 256, (wf.PACKED_PALETTE_MAX + 1, 3)).astype(
+        np.float32)
+    with pytest.raises(ValueError, match="planar"):
+        wf._run("fixed", planes, pal, variant="floyd_steinberg", planar=True)
