@@ -91,3 +91,44 @@ def test_process_single_video_config(synth_video, tmp_path):
     assert process_single_video(config)
     assert out.exists() and out.stat().st_size > 0
     assert ffio.probe_video(str(out))["frame_count"] == 20
+
+
+def test_planar_flow_matches_interleaved(synth_video, tmp_path, monkeypatch):
+    """The auto-selected planar (channel-major) flow must produce the same
+    encoded video as the interleaved flow: same kernels, zero-copy layout.
+    Forces the wavefront backend (CPU hosts default to the native engine,
+    where no planar kernel exists and the flow correctly stays NHWC)."""
+    monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "wavefront")
+    pal = [(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 255, 0),
+           (0, 0, 255), (255, 255, 0), (0, 255, 255), (255, 0, 255)]
+    d = dpt.ImageDitherer(
+        num_colors=8, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
+        palette=pal, dither_params={"variant": "floyd_steinberg"})
+    assert d.supports_planar_batch()
+
+    out_p = str(tmp_path / "planar.mp4")
+    hits = {"planar": 0}
+    orig = ffio.read_frames_planar
+    monkeypatch.setattr(ffio, "read_frames_planar",
+                        lambda *a, **k: hits.__setitem__("planar", 1) or orig(*a, **k))
+    assert VideoProcessor().process_video_streaming(synth_video, out_p, d,
+                                                    batch_size=6)
+    assert hits["planar"] == 1  # the zero-copy flow actually engaged
+
+    out_n = str(tmp_path / "nhwc.mp4")
+    monkeypatch.setattr(dpt.ImageDitherer, "supports_planar_batch",
+                        lambda self: False)
+    assert VideoProcessor().process_video_streaming(synth_video, out_n, d,
+                                                    batch_size=6)
+
+    ca, cb = cv2.VideoCapture(out_p), cv2.VideoCapture(out_n)
+    n = 0
+    while True:
+        ra, fa = ca.read()
+        rb, fb = cb.read()
+        assert ra == rb
+        if not ra:
+            break
+        np.testing.assert_array_equal(fa, fb)
+        n += 1
+    assert n == 20
