@@ -121,6 +121,23 @@ def main():
                   ed_host.ed_fixed_fast(imgs[3].copy(), pal512,
                                         "floyd_steinberg", False))
 
+            # Planar entry (the video pipeline's zero-copy ffmpeg-gbrp
+            # flow): same kernel core, different skew/unskew data movers —
+            # sweep it at scale on both the small- and dense-palette
+            # epilogues.
+            planes = np.ascontiguousarray(imgs.transpose(3, 0, 1, 2))
+            out = wf.ed_batch_wavefront(planes.copy(), pal8, "fixed",
+                                        "floyd_steinberg", planar=True)
+            check(f"{tag} {h}p/fs-planar", out.transpose(1, 2, 3, 0)[3],
+                  ed_host.ed_fixed(imgs[3].copy(), pal8, "floyd_steinberg",
+                                   False))
+            out = wf.ed_batch_wavefront(planes.copy(), pal256,
+                                        "ostromoukhov", planar=True)
+            check(f"{tag} {h}p/ostromoukhov-pal256-planar",
+                  out.transpose(1, 2, 3, 0)[3],
+                  ed_host.ed_ostromoukhov_fast(imgs[3].copy(), pal256,
+                                               False))
+
     print("ALL BIT-IDENTICAL" if not bad else f"DIVERGENT: {bad}")
     return 0 if not bad else 1
 
