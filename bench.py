@@ -405,6 +405,25 @@ def main():
             details["video_overlap_speedup"] = round(wall_ser / wall, 2)
             log(f"4o: overlap off {n_frames / wall_ser:.2f} fps wall "
                 f"(overlap buys {wall_ser / wall:.2f}x)")
+
+            # Index transfer off: force the 3-byte/pixel RGB output stream
+            # (the auto probe picks the 1-byte index stream + host palette
+            # gather on slow links; this measures what that buys here).
+            dst3 = os.path.join(td, "out_rgb.mp4")
+            os.environ["DITHER_PIE_TPU_INDEX_TRANSFER"] = "0"
+            try:
+                t0 = time.time()
+                ok3 = vp.process_video_streaming(src, dst3, ditherer)
+                wall_rgb = time.time() - t0
+            finally:
+                del os.environ["DITHER_PIE_TPU_INDEX_TRANSFER"]
+            if ok3:
+                details["stucki_720p_video_e2e_fps_wall_rgb_out"] = round(
+                    n_frames / wall_rgb, 2)
+                details["video_index_transfer_speedup"] = round(
+                    wall_rgb / wall, 2)
+                log(f"4i: index transfer off {n_frames / wall_rgb:.2f} fps "
+                    f"wall (index stream buys {wall_rgb / wall:.2f}x)")
     except Exception as e:
         errors["config4"] = repr(e)
 

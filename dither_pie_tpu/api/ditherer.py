@@ -36,7 +36,14 @@ from dither_pie_tpu.ops import ed_kernels as _ed_kernels
 from dither_pie_tpu.ops import halftone as _halftone
 from dither_pie_tpu.ops import ordered as _ordered
 from dither_pie_tpu.ops import wavelet as _wavelet
+from dither_pie_tpu.api import linkspeed as _linkspeed
 from dither_pie_tpu.api import runtime as _runtime
+
+
+def _auto_mesh_enabled() -> bool:
+    from dither_pie_tpu.parallel.auto import auto_mesh_enabled
+
+    return auto_mesh_enabled()
 
 
 # -------------------- Enumerations --------------------
@@ -380,6 +387,19 @@ def _require_planar_wavefront(serpentine: bool = False):
     return wf
 
 
+def _wf_batch_indices(images, pal, mode, planar, serpentine=False, **kw):
+    """Shared index-emitting batch dispatch: (B, H, W) uint8 palette
+    indices from the packed wavefront kernel — one third of the
+    device->host bytes of the RGB path; ``palette_u8[idx]`` on the host
+    reproduces the color output exactly. Returns None when the wavefront
+    path (or the <=256-color index stream) is unavailable."""
+    wf = None if serpentine else _wavefront_or_none()
+    if wf is None or len(pal) > 256:
+        return None
+    return wf.ed_batch_wavefront(np.asarray(images), pal, mode,
+                                 planar=planar, return_indices=True, **kw)
+
+
 def _wavefront_or_none():
     """Late import so the Pallas module is optional during bring-up."""
     if _runtime.ed_backend() != "wavefront":
@@ -483,6 +503,12 @@ class ErrorDiffusionDitherStrategy(BaseDitherStrategy):
         return wf.ed_batch_wavefront(np.asarray(planes), pal, "fixed",
                                      self.variant, planar=True)
 
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        return _wf_batch_indices(images, pal, "fixed", planar,
+                                 serpentine=self.serpentine,
+                                 variant=self.variant)
+
 
 class OstromoukhovDitherStrategy(BaseDitherStrategy):
     """Ostromoukhov variable-coefficient error diffusion (SIGGRAPH 2001)."""
@@ -531,6 +557,11 @@ class OstromoukhovDitherStrategy(BaseDitherStrategy):
         wf = _require_planar_wavefront(self.serpentine)
         return wf.ed_batch_wavefront(np.asarray(planes), pal,
                                      "ostromoukhov", planar=True)
+
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        return _wf_batch_indices(images, pal, "ostromoukhov", planar,
+                                 serpentine=self.serpentine)
 
 
 class HybridDitherStrategy(BaseDitherStrategy):
@@ -594,6 +625,12 @@ class HybridDitherStrategy(BaseDitherStrategy):
                                      lum_factor=self.lum_factor,
                                      col_factor=self.col_factor, planar=True)
 
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        return _wf_batch_indices(images, pal, "hybrid", planar,
+                                 lum_factor=self.lum_factor,
+                                 col_factor=self.col_factor)
+
 
 class PerceptualDitherStrategy(BaseDitherStrategy):
     """FS diffusion with luminance-scaled error weights (no parameters)."""
@@ -628,6 +665,10 @@ class PerceptualDitherStrategy(BaseDitherStrategy):
         wf = _require_planar_wavefront()
         return wf.ed_batch_wavefront(np.asarray(planes), pal, "perceptual",
                                      planar=True)
+
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        return _wf_batch_indices(images, pal, "perceptual", planar)
 
 
 class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
@@ -704,6 +745,22 @@ class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
             for g in gray]).astype(np.float32)
         return wf.ed_batch_wavefront(planes, pal, "adaptive", aux=gates,
                                      planar=True)
+
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        images = np.asarray(images)
+        if planar:
+            gray = (np.float32(0.299) * images[0]
+                    + np.float32(0.587) * images[1]
+                    + np.float32(0.114) * images[2]).astype(np.float32)
+        else:
+            gray = (np.float32(0.299) * images[..., 0]
+                    + np.float32(0.587) * images[..., 1]
+                    + np.float32(0.114) * images[..., 2])
+        gates = np.stack([
+            _adaptive.variance_map_np(g, self.window_radius) >= self.var_threshold
+            for g in gray]).astype(np.float32)
+        return _wf_batch_indices(images, pal, "adaptive", planar, aux=gates)
 
 
 class RiemersmaDitherStrategy(BaseDitherStrategy):
@@ -1169,6 +1226,31 @@ class ImageDitherer:
 
         mode = self.dither_mode or DitherMode.NONE
         strategy = self._get_dither_strategy(mode)
+
+        # Index transfer: on slow device->host links (measured once per
+        # process, see api/linkspeed.py) strategies with an index-emitting
+        # wavefront kernel return (B, H, W) uint8 palette indices — a third
+        # of the D2H bytes — and ONE exact palette gather on the host
+        # reproduces the color output bit-for-bit. Gamma folds into the
+        # palette: output pixels only ever take palette values, so the
+        # per-entry linear->sRGB map equals the per-pixel map exactly.
+        if (len(palette_arr) <= 256
+                and hasattr(strategy, "dither_batch_indices")
+                and not _auto_mesh_enabled()
+                and _linkspeed.index_transfer_wins()):
+            idx = strategy.dither_batch_indices(work, palette_arr,
+                                                planar=planar)
+            if idx is not None:
+                pal_u8 = palette_arr.astype(np.uint8)  # truncation, like
+                #         the device epilogue's exact-int i32 cast
+                if self.use_gamma:
+                    srgb = DitherUtils.linear_to_srgb(
+                        np.clip(pal_u8.astype(np.float32) / 255.0, 0, 1))
+                    pal_u8 = np.clip(srgb * 255.0, 0, 255).astype(np.uint8)
+                if planar:
+                    return pal_u8.T[:, idx]  # (3, B, H, W)
+                return pal_u8[idx]  # (B, H, W, 3)
+
         if planar:
             out = strategy.dither_batch_planar(work, palette_arr)
         else:

@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -517,14 +518,20 @@ def _max_packed_batch(mode: str, variant: str, h: int, w: int, p: int) -> int:
 def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
          aux: Optional[np.ndarray] = None, lum_factor: float = 1.0,
          col_factor: float = 0.2, interpret: Optional[bool] = None,
-         planar: bool = False) -> np.ndarray:
+         planar: bool = False, return_indices: bool = False) -> np.ndarray:
     """images (B, H, W, 3) u8 or f32; aux (B, H, W) f32 or None. Returns
     (B, H, W, 3) uint8 palette colors (u8 end-to-end: f32 NHWC materializes
     with 42x tile padding on TPU).
 
     ``planar=True``: images are (3, B, H, W) channel-major planes (the
     ffmpeg-gbrp ingestion layout) and the output stays planar — no XLA
-    copy on either side of the kernels. Packed-kernel path only."""
+    copy on either side of the kernels. Packed-kernel path only.
+
+    ``return_indices=True`` (palette <= 256, packed path): returns
+    (B, H, W) uint8 palette INDICES — a third of the device->host bytes;
+    ``palette.astype(uint8)[idx]`` reproduces the color output exactly."""
+    if return_indices and palette.shape[0] > 256:
+        raise ValueError("return_indices requires a palette <= 256 colors")
     if planar and palette.shape[0] > PACKED_PALETTE_MAX:
         raise ValueError(
             "planar layout requires a palette <= "
@@ -537,10 +544,11 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
                 _run(mode, images[:, i:i + nb_max], palette, variant=variant,
                      aux=None if aux is None else aux[i:i + nb_max],
                      lum_factor=lum_factor, col_factor=col_factor,
-                     interpret=interpret, planar=True)
+                     interpret=interpret, planar=True,
+                     return_indices=return_indices)
                 for i in range(0, b, nb_max)
             ]
-            return np.concatenate(outs, axis=1)
+            return np.concatenate(outs, axis=0 if return_indices else 1)
         if b < 8:
             pad = np.concatenate(
                 [images, np.repeat(images[:, -1:], 8 - b, axis=1)], axis=1)
@@ -549,11 +557,13 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
                     [aux, np.repeat(aux[-1:], 8 - b, axis=0)], axis=0)
             out = _run_packed(mode, pad, palette, variant=variant, aux=aux,
                               lum_factor=lum_factor, col_factor=col_factor,
-                              interpret=interpret, planar=True)
-            return out[:, :b]
+                              interpret=interpret, planar=True,
+                              return_indices=return_indices)
+            return out[:b] if return_indices else out[:, :b]
         return _run_packed(mode, images, palette, variant=variant, aux=aux,
                            lum_factor=lum_factor, col_factor=col_factor,
-                           interpret=interpret, planar=True)
+                           interpret=interpret, planar=True,
+                           return_indices=return_indices)
     if palette.shape[0] <= PACKED_PALETTE_MAX:
         # Packed-layout kernel: full sublane tiles, verified bit-identical
         # to the native golden engine on hardware. Covers every mode
@@ -572,7 +582,7 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
                 _run(mode, images[i:i + nb_max], palette, variant=variant,
                      aux=None if aux is None else aux[i:i + nb_max],
                      lum_factor=lum_factor, col_factor=col_factor,
-                     interpret=interpret)
+                     interpret=interpret, return_indices=return_indices)
                 for i in range(0, b, nb_max)
             ]
             return np.concatenate(outs, axis=0)
@@ -584,11 +594,15 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
                     [aux, np.repeat(aux[-1:], 8 - b, axis=0)], axis=0)
             out = _run_packed(mode, pad, palette, variant=variant, aux=aux,
                               lum_factor=lum_factor, col_factor=col_factor,
-                              interpret=interpret)
+                              interpret=interpret,
+                              return_indices=return_indices)
             return out[:b]
         return _run_packed(mode, images, palette, variant=variant, aux=aux,
                            lum_factor=lum_factor, col_factor=col_factor,
-                           interpret=interpret)
+                           interpret=interpret,
+                           return_indices=return_indices)
+    if return_indices:
+        raise ValueError("return_indices requires the packed kernel path")
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, w, _ = images.shape
@@ -671,7 +685,7 @@ def ed_batch_wavefront(images: np.ndarray, palette: np.ndarray, mode: str = "fix
         gray = (np.float32(0.299) * ch[0] + np.float32(0.587) * ch[1]
                 + np.float32(0.114) * ch[2])
         kw["aux"] = np.float32(0.5) + np.float32(0.5) * (gray / np.float32(255.0))
-    if not planar:
+    if not planar and not kw.get("return_indices", False):
         from dither_pie_tpu.parallel.auto import maybe_sharded_ed
 
         out = maybe_sharded_ed(images, palette, mode=mode, variant=variant,
@@ -818,8 +832,22 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
 def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                          d_pad: int, chunk: int, nb: int, lf: int, pp: int,
                          lum_factor: float = 1.0, col_factor: float = 0.2,
-                         interpret: bool = False):
+                         interpret: bool = False, emit_idx: bool = False,
+                         mxu_dense: bool = False):
     """nb = batch, lf = lane extent (h_frame), rows R = 3*nb channel-major.
+
+    ``emit_idx``: store palette INDICES instead of packed colors — the
+    index epilogue transfers 1 byte/pixel to the host (vs 3 for RGB) and
+    the host maps colors with one exact palette gather. Same search, same
+    error math: bit-identical colors after the gather.
+
+    ``mxu_dense``: dense (>64-color, pow2) palettes score on the MXU —
+    argmin_p |x-c_p|^2 == argmax_p (c_p.x - |c_p|^2/2), one (pp, 8) @
+    (8, lf) dot per batch row with the augmented palette [c, -|c|^2/2,
+    0-pad] — instead of the O(pp) VPU squared-distance sweep. Rounding of
+    the dot differs from the exact sweep, so near-tie picks may flip
+    (measured ~0 on hardware; gated by the caller, never the default for
+    the bit-identity contract).
 
     Error-accumulation ORDER is part of the bit-identity contract: the
     row-major golden scan accumulates error IN PLACE into the image
@@ -861,6 +889,7 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
         base = g * chunk
 
         dense_tree = pp > 64 and (pp & (pp - 1) == 0)
+        use_mxu = mxu_dense and dense_tree
         if dense_tree:
             # Packed-i32 palette column (r<<16 | g<<8 | b) for the dense
             # path's chosen-color tree. Palette values are exact small
@@ -870,6 +899,9 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             pal_packed = ((pal_ref[:, 0:1].astype(jnp.int32) << 16)
                           | (pal_ref[:, 1:2].astype(jnp.int32) << 8)
                           | pal_ref[:, 2:3].astype(jnp.int32))  # (pp, 1)
+        if use_mxu:
+            ones_row = jnp.ones((1, lf), jnp.float32)
+            zeros4 = jnp.zeros((4, lf), jnp.float32)
 
         for j in range(chunk):  # static unroll; slot indices static
             slot = j % n_slots
@@ -903,14 +935,35 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                 packed_rows = []
                 chosen_rows = [[], [], []]
                 for b in range(nb):
-                    diff3 = jnp.concatenate(
-                        [pal_ref[:, c:c + 1] - cur[c * nb + b:c * nb + b + 1]
-                         for c in range(3)], axis=0)  # (3*pp, lf)
-                    sq = diff3 * diff3
-                    d2 = (sq[0:pp] + sq[pp:2 * pp]) + sq[2 * pp:3 * pp]
-                    dmin = jnp.min(d2, axis=0, keepdims=True)
-                    idxb = jnp.min(jnp.where(d2 == dmin, p_iota, pp),
-                                   axis=0, keepdims=True).astype(jnp.int32)
+                    if use_mxu:
+                        # MXU score: argmax (c.x - |c|^2/2), one (pp, 8) @
+                        # (8, lf) dot (K padded to a full sublane tile;
+                        # zero rows contribute exactly 0). HIGHEST keeps
+                        # f32-accurate passes so near-tie flips stay rare.
+                        xa = jnp.concatenate(
+                            [cur[c * nb + b:c * nb + b + 1]
+                             for c in range(3)] + [ones_row, zeros4],
+                            axis=0)  # (8, lf)
+                        score = jax.lax.dot_general(
+                            pal_ref[...], xa,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)  # (pp, lf)
+                        smax = jnp.max(score, axis=0, keepdims=True)
+                        idxb = jnp.min(jnp.where(score == smax, p_iota, pp),
+                                       axis=0,
+                                       keepdims=True).astype(jnp.int32)
+                    else:
+                        diff3 = jnp.concatenate(
+                            [pal_ref[:, c:c + 1]
+                             - cur[c * nb + b:c * nb + b + 1]
+                             for c in range(3)], axis=0)  # (3*pp, lf)
+                        sq = diff3 * diff3
+                        d2 = (sq[0:pp] + sq[pp:2 * pp]) + sq[2 * pp:3 * pp]
+                        dmin = jnp.min(d2, axis=0, keepdims=True)
+                        idxb = jnp.min(jnp.where(d2 == dmin, p_iota, pp),
+                                       axis=0,
+                                       keepdims=True).astype(jnp.int32)
                     if dense_tree:
                         # ONE halving tree over the packed-i32 palette
                         # instead of three per-channel f32 trees: the
@@ -969,14 +1022,16 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             # f32 -> i32 casts are exact. (idx stays in-register for modes
             # that need it; inactive lanes pack garbage that the unskew
             # slices away.)
-            del idx  # colors replace indices in the output stream
-            if pp > 64 and dense_tree:
+            if emit_idx:
+                idx_ref[j] = idx  # (nb, lf) palette indices
+            elif pp > 64 and dense_tree:
                 idx_ref[j] = jnp.concatenate(packed_rows, axis=0)  # (nb, lf)
             else:
                 idx_ref[j] = (
                     (chosen[0:nb].astype(jnp.int32) << 16)
                     | (chosen[nb:2 * nb].astype(jnp.int32) << 8)
                     | chosen[2 * nb:3 * nb].astype(jnp.int32))
+            del idx
 
             if has_aux_stream:
                 a = aux_ref[j]  # (nb, lf)
@@ -1066,12 +1121,14 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
 @functools.lru_cache(maxsize=64)
 def _compiled_packed(mode: str, variant: str, d_pad: int, nb: int, lf: int,
                      pp: int, lum_factor: float, col_factor: float,
-                     interpret: bool):
+                     interpret: bool, emit_idx: bool = False,
+                     mxu_dense: bool = False):
     s, n_slots = _scan_params(mode, variant)
     chunk = _chunk_for(n_slots)
     return _build_kernel_packed(mode, variant, s, n_slots, d_pad, chunk, nb,
                                 lf, pp, lum_factor, col_factor,
-                                interpret=interpret)
+                                interpret=interpret, emit_idx=emit_idx,
+                                mxu_dense=mxu_dense)
 
 
 @functools.lru_cache(maxsize=64)
@@ -1637,6 +1694,23 @@ def _unskew_idx_packed(idx_skew: jnp.ndarray, s: int, lf: int, h: int,
     return flat.reshape(b, lf, d_pad + s)[:, :h, :w]
 
 
+def _dense_search_mode() -> str:
+    """'exact' (default: the bit-verified O(P) VPU sweep) or 'mxu'
+    (DITHER_PIE_TPU_DENSE_SEARCH=mxu: MXU-scored argmax for dense pow2
+    palettes — faster, near-tie picks may flip vs exact)."""
+    return os.environ.get("DITHER_PIE_TPU_DENSE_SEARCH", "exact")
+
+
+def _pad_palette_aug(pal: np.ndarray, pp: int) -> np.ndarray:
+    """(P, 3) -> (pp, 8) MXU-augmented palette: [r, g, b, -|c|^2/2, 0 x4]
+    (K padded to one full sublane tile; sentinel rows score ~-1.5e12)."""
+    pal3 = _pad_palette(pal, pp)
+    aug = np.zeros((pp, 8), np.float32)
+    aug[:, :3] = pal3
+    aug[:, 3] = -0.5 * (pal3 * pal3).sum(1)
+    return aug
+
+
 def _pad_palette_packed(pal: np.ndarray, pp: int, nb: int) -> np.ndarray:
     """(P, 3) -> (3*nb, pp): column p holds pal[p, c] replicated per frame."""
     p = pal.shape[0]
@@ -1650,7 +1724,8 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                 variant: str = "", aux: Optional[np.ndarray] = None,
                 lum_factor: float = 1.0, col_factor: float = 0.2,
                 interpret: Optional[bool] = None,
-                bucket: bool = True, planar: bool = False) -> np.ndarray:
+                bucket: bool = True, planar: bool = False,
+                return_indices: bool = False) -> np.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if planar:
@@ -1658,18 +1733,28 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
     else:
         b, h, w, _ = images.shape
     p = palette.shape[0]
+    if return_indices and p > 256:
+        raise ValueError("return_indices requires a palette <= 256 colors "
+                         "(indices ride a uint8 stream)")
     s, n_slots = _scan_params(mode, variant)
     chunk = _chunk_for(n_slots)
     lf, _, pp, d_pad = _plan(h, w, p, 1, s, chunk, bucket=bucket)
+    mxu_dense = (pp > 64 and pp & (pp - 1) == 0
+                 and _dense_search_mode() == "mxu")
     call = _compiled_packed(mode, variant, d_pad, b, lf, pp,
                             float(lum_factor), float(col_factor),
-                            bool(interpret))
+                            bool(interpret), bool(return_indices),
+                            mxu_dense)
 
     skew_fn = _skew_packed_planar if planar else _skew_packed
     img_skew = skew_fn(jnp.asarray(images), s, lf, d_pad,
                        interpret=bool(interpret),
                        out_dtype=_stream_dtype(images, bool(interpret)))
-    if pp > 64:
+    if mxu_dense:
+        # MXU form takes the augmented (pp, 8) palette.
+        pal_dev = jnp.asarray(
+            _pad_palette_aug(palette.astype(np.float32), pp))
+    elif pp > 64:
         # Lane-form search takes the palette in (pp, 3) column form.
         pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
     else:
@@ -1687,6 +1772,13 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
         aux_skew = jnp.zeros((1, 8), jnp.float32)
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     col_skew = call(dims, img_skew, pal_dev, aux_skew)
+    if return_indices:
+        # 1 byte/pixel leaves the device; the caller maps colors with one
+        # exact host-side palette gather (palette entries are the same u8
+        # values the color epilogue packs).
+        idx = _unskew_idx_packed(col_skew, s, lf, h, w,
+                                 interpret=bool(interpret))
+        return np.asarray(idx.astype(jnp.uint8))
     out = _unskew_unpack_colors(col_skew, s, lf, h, w, bool(interpret),
                                 planar_out=planar)
     return np.asarray(out)

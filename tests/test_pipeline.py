@@ -238,6 +238,42 @@ class TestVideoFrames:
         outs = list(process_frames(self._frames(5), d, batch_size=2))
         assert len(outs) == 5
 
+    def test_index_transfer_matches_rgb_path(self, monkeypatch):
+        """Forced index transfer (1 byte/pixel D2H + host palette gather)
+        must be bit-identical to the RGB output path — with and without
+        the gamma fold (gamma maps fold into the palette exactly because
+        output pixels only take palette values)."""
+        monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "wavefront")
+        pal = [(0, 0, 0), (250, 250, 250), (200, 40, 40), (30, 90, 200)]
+        frames = np.stack(list(self._frames(3)))
+        for gamma in (False, True):
+            d = dpt.ImageDitherer(
+                num_colors=4, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
+                palette=list(pal), use_gamma=gamma,
+                dither_params={"variant": "floyd_steinberg"})
+            monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "0")
+            rgb = d.apply_dithering_batch(frames.copy())
+            monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "1")
+            via_idx = d.apply_dithering_batch(frames.copy())
+            np.testing.assert_array_equal(via_idx, rgb)
+
+    def test_index_transfer_planar(self, monkeypatch):
+        """Planar frames through the index path come back planar."""
+        monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "wavefront")
+        pal = [(0, 0, 0), (250, 250, 250), (200, 40, 40), (30, 90, 200)]
+        frames = np.stack(list(self._frames(3)))
+        planes = np.ascontiguousarray(frames.transpose(3, 0, 1, 2))
+        d = dpt.ImageDitherer(
+            num_colors=4, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
+            palette=list(pal),
+            dither_params={"variant": "floyd_steinberg"})
+        monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "0")
+        rgb = d.apply_dithering_batch(planes.copy(), planar=True)
+        monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "1")
+        via_idx = d.apply_dithering_batch(planes.copy(), planar=True)
+        assert via_idx.shape == planes.shape
+        np.testing.assert_array_equal(via_idx, rgb)
+
     def test_wavelet_batch_matches_single(self):
         """The batched device wavelet path (one vmapped program per batch)
         must reproduce the per-frame path exactly: the reference re-seeds

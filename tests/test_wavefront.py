@@ -262,6 +262,62 @@ def test_run_routes_packed_and_splits_batches(monkeypatch):
     np.testing.assert_array_equal(whole, split)
 
 
+# ---------------------------------------------------------------------------
+# Index-emitting epilogue: 1 byte/pixel D2H + exact host palette gather.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode,kw", [
+    ("fixed", {"variant": "floyd_steinberg"}),
+    ("ostromoukhov", {}),
+    ("hybrid", {"lum_factor": 1.0, "col_factor": 0.2}),
+])
+def test_return_indices_gathers_to_colors(mode, kw):
+    """palette_u8[idx] must reproduce the color epilogue bit-for-bit —
+    same kernel, same search; only the output stream differs."""
+    imgs = np.random.RandomState(3).randint(
+        0, 256, (3, 16, 20, 3)).astype(np.float32)
+    colors = wf._run(mode, imgs.copy(), PAL, **kw)
+    idx = wf._run(mode, imgs.copy(), PAL, return_indices=True, **kw)
+    assert idx.shape == (3, 16, 20) and idx.dtype == np.uint8
+    np.testing.assert_array_equal(PAL.astype(np.uint8)[idx], colors)
+
+
+def test_return_indices_dense_palette():
+    """Dense (>64-color) search path: same gather identity at P=256."""
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 256, (2, 12, 18, 3)).astype(np.float32)
+    pal = np.unique(rng.randint(0, 256, (700, 3)), axis=0)[:256].astype(
+        np.float32)
+    colors = wf._run("fixed", imgs.copy(), pal, variant="stucki")
+    idx = wf._run("fixed", imgs.copy(), pal, variant="stucki",
+                  return_indices=True)
+    np.testing.assert_array_equal(pal.astype(np.uint8)[idx], colors)
+
+
+def test_return_indices_planar_and_split(monkeypatch):
+    """Planar input layout and VMEM batch splitting both preserve the
+    index/color correspondence (indices are layout-free: (B, H, W))."""
+    imgs = np.random.RandomState(8).randint(
+        0, 256, (9, 12, 14, 3)).astype(np.float32)
+    planes = np.ascontiguousarray(imgs.transpose(3, 0, 1, 2))
+    colors = wf._run("fixed", imgs.copy(), PAL, variant="floyd_steinberg")
+    monkeypatch.setattr(wf, "_max_packed_batch", lambda *a, **k: 8)
+    idx = wf._run("fixed", planes.copy(), PAL, variant="floyd_steinberg",
+                  planar=True, return_indices=True)
+    assert idx.shape == (9, 12, 14)
+    np.testing.assert_array_equal(PAL.astype(np.uint8)[idx], colors)
+
+
+def test_return_indices_rejects_large_palette():
+    imgs = np.zeros((2, 8, 8, 3), np.float32)
+    pal = np.unique(np.random.RandomState(0).randint(
+        0, 256, (900, 3)), axis=0)[:300].astype(np.float32)
+    with pytest.raises(ValueError, match="256"):
+        wf._run("fixed", imgs, pal, variant="floyd_steinberg",
+                return_indices=True)
+
+
 @pytest.mark.parametrize("shape,variant", [
     ((8, 16, 20), "floyd_steinberg"),   # s=2
     ((8, 33, 40), "floyd_steinberg"),
