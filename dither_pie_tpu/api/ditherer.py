@@ -188,6 +188,15 @@ def _ordered_batch_dispatch(images, pal, screen) -> np.ndarray:
     return np.asarray(out).astype(np.float32)
 
 
+def _ordered_batch_indices(images, pal, screen):
+    """(B, H, W) u8 palette indices from the ordered kernels (the index
+    transfer path — see ImageDitherer.apply_dithering_batch)."""
+    idx = _ordered.dispatch_ordered_batch(
+        jnp.asarray(images), jnp.asarray(pal), jnp.asarray(screen),
+        return_indices=True)
+    return np.asarray(idx)
+
+
 class NoDitherStrategy(BaseDitherStrategy):
     """Nearest palette color per pixel (device argmin over exact distances)."""
 
@@ -202,6 +211,18 @@ class NoDitherStrategy(BaseDitherStrategy):
         out = map_to_palette(jnp.asarray(images.reshape(-1, 3), dtype=jnp.float32),
                              jnp.asarray(pal))
         return np.asarray(out, dtype=np.float32).reshape(b, h, w, 3)
+
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        if planar:
+            return None
+        from dither_pie_tpu.core.distance import nearest_palette_idx
+
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        idx = nearest_palette_idx(
+            jnp.asarray(images.reshape(-1, 3), dtype=jnp.float32),
+            jnp.asarray(pal))
+        return np.asarray(idx.astype(jnp.uint8)).reshape(b, h, w)
 
 
 # -------------------- Ordered (threshold screen) strategies --------------------
@@ -232,6 +253,14 @@ class MatrixDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
         return _ordered_batch_dispatch(images, pal, screen)
+
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        if planar:
+            return None  # ordered batches are NHWC-only
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
+        return _ordered_batch_indices(images, pal, screen)
 
 
 class BayerDitherStrategy(MatrixDitherStrategy):
@@ -334,6 +363,14 @@ class InterleavedGradientNoiseDitherStrategy(BaseDitherStrategy):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
         return _ordered_batch_dispatch(images, pal, screen)
+
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        if planar:
+            return None  # ordered batches are NHWC-only
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
+        return _ordered_batch_indices(images, pal, screen)
 
     def get_current_parameters(self) -> Dict[str, Any]:
         return {"scale": self.scale, "seed": self.seed}

@@ -72,22 +72,51 @@ def ordered_dither_batch(
     return jax.vmap(lambda im: ordered_dither(im, palette, screen, exact_f64))(images)
 
 
+@jax.jit
+def _ordered_indices_one(image: jnp.ndarray, palette: jnp.ndarray,
+                         screen: jnp.ndarray) -> jnp.ndarray:
+    """ordered_dither's pick as (H, W) uint8 palette indices (P <= 256)."""
+    h, w, _ = image.shape
+    px = image.reshape(-1, 3).astype(jnp.float32)
+    d1, d2, i1, i2 = top2_palette(px, palette)
+    factor = distance_ratio_factor(d1, d2)
+    idx = jnp.where(factor <= screen.reshape(-1), i1, i2)
+    return idx.reshape(h, w).astype(jnp.uint8)
+
+
+@jax.jit
+def ordered_dither_batch_indices(images: jnp.ndarray, palette: jnp.ndarray,
+                                 screen: jnp.ndarray) -> jnp.ndarray:
+    """Batched index-emitting ordered dither (XLA path): (B, H, W) u8."""
+    return jax.vmap(
+        lambda im: _ordered_indices_one(im, palette, screen))(images)
+
+
 def screen_for_matrix(matrix: np.ndarray, h: int, w: int) -> jnp.ndarray:
     """Host helper: tiled device screen from a small host matrix."""
     return tile_screen_device(jnp.asarray(matrix, dtype=jnp.float32), h, w)
 
 
 def dispatch_ordered_batch(images: jnp.ndarray, palette: jnp.ndarray,
-                           screen: jnp.ndarray) -> jnp.ndarray:
+                           screen: jnp.ndarray,
+                           return_indices: bool = False) -> jnp.ndarray:
     """Pick the fused Pallas kernel on accelerators (~5 B/pixel of HBM
     traffic) or the XLA path on CPU (where interpret-mode Pallas is slow).
-    Bit-identical results either way."""
+    Bit-identical results either way.
+
+    ``return_indices=True`` (P <= 256): (B, H, W) u8 palette indices —
+    1 byte/pixel leaves the device and the caller gathers colors."""
     import jax
 
     from dither_pie_tpu.ops.ordered_pallas import ordered_dither_fused
 
     b, h, w, _ = images.shape
+    if return_indices and palette.shape[0] > 256:
+        raise ValueError("return_indices requires a palette <= 256 colors")
     on_accel = jax.default_backend() not in ("cpu",)
     if on_accel and b * h * w >= 64 * 64 and palette.shape[0] <= 256:
-        return ordered_dither_fused(images, palette, screen, interpret=False)
+        return ordered_dither_fused(images, palette, screen, interpret=False,
+                                    return_indices=return_indices)
+    if return_indices:
+        return ordered_dither_batch_indices(images, palette, screen)
     return ordered_dither_batch(images, palette, screen)

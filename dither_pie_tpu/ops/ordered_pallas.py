@@ -28,7 +28,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _build(p_count: int, th: int, wp: int):
+def _build(p_count: int, th: int, wp: int, emit_idx: bool = False):
     def kernel(img_ref, screen_ref, pal_ref, out_ref):
         # Mosaic has no direct u8<->f32 casts; hop through int32.
         r = img_ref[0].astype(jnp.int32).astype(jnp.float32)  # (th, wp)
@@ -55,6 +55,13 @@ def _build(p_count: int, th: int, wp: int):
         tot = d1 + d2
         factor = jnp.where(tot == 0, 0.0, d1 / tot)
         idx = jnp.where(factor <= screen_ref[...], i1, i2)
+
+        if emit_idx:
+            # Index stream: 1 byte/pixel out, no select loop — the host
+            # reconstructs colors with one exact palette gather. p_count
+            # <= 256 so the u8 cast is lossless (sentinels never win).
+            out_ref[0] = idx.astype(jnp.uint8)
+            return
 
         # Materialize palette colors with a second static select loop.
         ro = jnp.zeros((th, wp), jnp.float32)
@@ -86,8 +93,10 @@ def _bucketed(x: int, buckets) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_padded(p_count: int, rp: int, wp: int, th: int, interpret: bool):
-    kernel = _build(p_count, th, wp)
+def _compiled_padded(p_count: int, rp: int, wp: int, th: int, interpret: bool,
+                     emit_idx: bool = False):
+    kernel = _build(p_count, th, wp, emit_idx)
+    ch = 1 if emit_idx else 3
     return pl.pallas_call(
         kernel,
         grid=(rp // th,),
@@ -96,14 +105,14 @@ def _compiled_padded(p_count: int, rp: int, wp: int, th: int, interpret: bool):
             pl.BlockSpec((th, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # palette (3, p)
         ],
-        out_specs=pl.BlockSpec((3, th, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, rp, wp), jnp.uint8),
+        out_specs=pl.BlockSpec((ch, th, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ch, rp, wp), jnp.uint8),
         interpret=interpret,
     )
 
 
 def _compiled(p_count: int, rows: int, w: int, interpret: bool,
-              bucket: bool = True):
+              bucket: bool = True, emit_idx: bool = False):
     wp = _round_up(w, LANE)
     if bucket:
         # Collapse nearby shapes onto one compiled program (compiles via the
@@ -116,7 +125,7 @@ def _compiled(p_count: int, rows: int, w: int, interpret: bool,
     rp = _round_up(rows, th)
     if bucket:
         rp = _round_up(_bucketed(rp, _ROW_BUCKETS), th)
-    call = _compiled_padded(p_count, rp, wp, th, interpret)
+    call = _compiled_padded(p_count, rp, wp, th, interpret, emit_idx)
     return call, th, wp, rp
 
 
@@ -146,17 +155,25 @@ def _pad_palette_sentinel(palette: jnp.ndarray, p_pad: int) -> jnp.ndarray:
 
 def ordered_dither_fused(images: jnp.ndarray, palette: jnp.ndarray,
                          screen: jnp.ndarray, interpret: bool | None = None,
-                         bucket: bool = True) -> jnp.ndarray:
+                         bucket: bool = True,
+                         return_indices: bool = False) -> jnp.ndarray:
     """(B, H, W, 3) u8 frames + (P, 3) palette + (H, W) screen -> (B, H, W, 3) u8.
 
     ``bucket=False`` compiles for the exact shape (steady-state video /
     benchmarks); the default buckets shapes to limit recompiles.
+
+    ``return_indices=True`` (P <= 256): returns (B, H, W) u8 palette
+    indices — 1 byte/pixel off the device; ``palette_u8[idx]`` is exactly
+    the color output.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, w, _ = images.shape
     p_count = int(palette.shape[0])
-    call, th, wp, rp = _compiled(p_count, b * h, w, bool(interpret), bucket)
+    if return_indices and p_count > 256:
+        raise ValueError("return_indices requires a palette <= 256 colors")
+    call, th, wp, rp = _compiled(p_count, b * h, w, bool(interpret), bucket,
+                                 return_indices)
 
     planar = _prep_planar_u8(jnp.asarray(images), rp, wp)
     screen_full = jnp.tile(jnp.asarray(screen, jnp.float32), (b, 1))
@@ -164,6 +181,8 @@ def ordered_dither_fused(images: jnp.ndarray, palette: jnp.ndarray,
     pal_smem = _pad_palette_sentinel(palette, max(
         p_count, (max(2, 1 << (p_count - 1).bit_length()) if bucket else p_count)))
 
-    out = call(planar, screen_full, pal_smem)  # (3, rp, wp) u8
+    out = call(planar, screen_full, pal_smem)  # (ch, rp, wp) u8
+    if return_indices:
+        return out[0, : b * h, : w].reshape(b, h, w)
     out = out[:, : b * h, : w].reshape(3, b, h, w).transpose(1, 2, 3, 0)
     return out

@@ -246,16 +246,21 @@ class TestVideoFrames:
         monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "wavefront")
         pal = [(0, 0, 0), (250, 250, 250), (200, 40, 40), (30, 90, 200)]
         frames = np.stack(list(self._frames(3)))
-        for gamma in (False, True):
+        cases = [(dpt.DitherMode.ERROR_DIFFUSION,
+                  {"variant": "floyd_steinberg"}, False),
+                 (dpt.DitherMode.ERROR_DIFFUSION,
+                  {"variant": "floyd_steinberg"}, True),
+                 (dpt.DitherMode.BAYER, {"size": "4x4"}, False),
+                 (dpt.DitherMode.NONE, {}, False)]
+        for mode, params, gamma in cases:
             d = dpt.ImageDitherer(
-                num_colors=4, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
-                palette=list(pal), use_gamma=gamma,
-                dither_params={"variant": "floyd_steinberg"})
+                num_colors=4, dither_mode=mode,
+                palette=list(pal), use_gamma=gamma, dither_params=params)
             monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "0")
             rgb = d.apply_dithering_batch(frames.copy())
             monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "1")
             via_idx = d.apply_dithering_batch(frames.copy())
-            np.testing.assert_array_equal(via_idx, rgb)
+            np.testing.assert_array_equal(via_idx, rgb, err_msg=str(mode))
 
     def test_index_transfer_planar(self, monkeypatch):
         """Planar frames through the index path come back planar."""

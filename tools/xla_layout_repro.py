@@ -11,12 +11,15 @@ minor). A u8 array whose minor dimension is 3 pads 3 lanes -> 128, i.e.
 
 Run on a TPU host:       python tools/xla_layout_repro.py [n_params] [batch]
 
-Status: this REDUCED form does NOT reproduce the pathology — with plain
-returned outputs both 1- and 3-param programs get healthy 1.0x layouts
-(measured on v5e, jax 0.9). The original failure had the planarized
-tensors consumed by pallas_call operands inside a multi-call chain, so
-the trigger involves the Pallas operand layout pass; bisect from the
-bench harness (bench.py config-3 chain variant) when reporting upstream.
+Status: the plain-XLA REDUCED form does NOT reproduce the pathology — with
+plain returned outputs both 1- and 3-param programs get healthy 1.0x
+layouts (measured on v5e, jax 0.9). The original failure had the
+planarized tensors consumed by pallas_call operands inside a multi-call
+chain; `--pallas` runs that form (each planarized tensor feeds a trivial
+pallas_call identity kernel, n_params calls in one program), which is the
+minimal self-contained candidate for an upstream report. If `--pallas`
+reports temp >> args or OOMs at sizes where the plain form is healthy,
+attach THIS file to the report.
 
 This script is self-contained diagnostics — not part of the library.
 """
@@ -26,12 +29,38 @@ import sys
 import numpy as np
 
 
+def _pallas_identity(plane):
+    """pallas_call identity over a (3, N, W) u8 plane: the operand whose
+    layout assignment goes channel-minor in the original failure."""
+    import jax
+    from jax.experimental import pallas as pl
+
+    def kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    n = plane.shape[1]
+    rows = 512
+    grid = (n + rows - 1) // rows
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((3, rows, plane.shape[2]),
+                               lambda g: (0, g, 0))],
+        out_specs=pl.BlockSpec((3, rows, plane.shape[2]),
+                               lambda g: (0, g, 0)),
+        out_shape=jax.ShapeDtypeStruct(plane.shape, plane.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(plane)
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
-    n_params = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    use_pallas = "--pallas" in sys.argv
+    n_params = int(args[0]) if args else 3
+    batch = int(args[1]) if len(args) > 1 else 100
     h, w = 1080, 1920
 
     def planarize(x):
@@ -44,12 +73,21 @@ def main():
     def f(*frames):
         # Returning the planarized tensors forces the transpose copies to
         # materialize (slice/sum consumption lets XLA elide them entirely).
+        # With --pallas each plane feeds a pallas_call identity first — the
+        # operand-layout interaction that triggered the original failure.
+        if use_pallas:
+            return [_pallas_identity(planarize(fr)) for fr in frames]
         return [planarize(fr) for fr in frames]
 
-    frames = [jnp.asarray(np.full((batch, h, w, 3), i, np.uint8))
-              for i in range(n_params)]
     arg_bytes = n_params * batch * h * w * 3
-    print(f"params={n_params} batch={batch} args={arg_bytes/1e9:.2f} GB")
+    print(f"params={n_params} batch={batch} args={arg_bytes/1e9:.2f} GB"
+          f"{' [pallas operands]' if use_pallas else ''}", flush=True)
+    # Device-side fill: values are irrelevant for layout assignment, and
+    # ~2 GB of host->device transfers through a dev tunnel take longer
+    # than the compile being diagnosed.
+    fill = jax.jit(lambda i: jnp.full((batch, h, w, 3), i, jnp.uint8))
+    frames = [jax.block_until_ready(fill(i)) for i in range(n_params)]
+    print("  frames materialized on device", flush=True)
     try:
         compiled = f.lower(*frames).compile()
         mem = compiled.memory_analysis()
