@@ -221,6 +221,41 @@ def main():
         details["fs_1080p_pal256_fps_e2e_device"] = round(B_B / per2b, 1)
         log(f"2b: FS 1080p 256-color palette {per2b*1e3:.1f} ms/batch{B_B} "
             f"-> {B_B / per2b:.0f} fps")
+
+        # 2b-mxu: the MXU-scored dense search (opt-in knob). Same chain
+        # harness; also record the pick-flip fraction vs the exact kernel
+        # (device-side compare, one scalar off the chip).
+        fn256m = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
+                                        int(pal256.shape[0]), B_B,
+                                        interpret=cpu, dense_search="mxu")
+
+        def fs256m_many(k):
+            @jax.jit
+            def f(pal, *frames_list):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    out = fn256m(frames_list[i],
+                                 pal.at[0, 0].set(acc + jnp.float32(i % 3)))
+                    acc = (jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
+                           * jnp.float32(1e-12))
+                return acc
+            return lambda: f(pal256_dev, *fs_bufs[:k])
+
+        per2bm = timed_pair(fs256m_many(1), fs256m_many(3), 3)
+        details["fs_1080p_pal256_mxu_fps_e2e_device"] = round(B_B / per2bm, 1)
+
+        @jax.jit
+        def flipfrac(pal, frames):
+            a = fn256(frames, pal)
+            m = fn256m(frames, pal)
+            return jnp.mean(jnp.any(a != m, axis=-1).astype(jnp.float32))
+
+        details["fs_1080p_pal256_mxu_flip_fraction"] = round(
+            float(flipfrac(pal256_dev, fs_bufs[0])), 6)
+        log(f"2bm: FS 1080p 256-color MXU search {per2bm*1e3:.1f} ms/batch"
+            f"{B_B} -> {B_B / per2bm:.0f} fps "
+            f"({per2b / per2bm:.2f}x exact; flip fraction "
+            f"{details['fs_1080p_pal256_mxu_flip_fraction']})")
     except Exception as e:
         errors["config2b"] = repr(e)
 

@@ -700,7 +700,7 @@ def ed_batch_wavefront(images: np.ndarray, palette: np.ndarray, mode: str = "fix
 def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                         batch: int, interpret: Optional[bool] = None,
                         lum_factor: float = 1.0, col_factor: float = 0.2,
-                        planar: bool = False):
+                        planar: bool = False, dense_search: str = "exact"):
     """A pure jit/shard_map-composable device function.
 
     Returns ``fn(frames (B,H,W,3) u8/f32, palette (P,3) f32) -> (B,H,W,3)
@@ -731,9 +731,11 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
         chunk = _chunk_for(n_slots)
         lf, _, pp, d_pad = _plan(h, w, p, 1, s, chunk)
         nb = max(batch, 8)
+        mxu_dense = (dense_search == "mxu" and pp > 64
+                     and pp & (pp - 1) == 0)
         call = _compiled_packed(mode, variant, d_pad, nb, lf, pp,
                                 float(lum_factor), float(col_factor),
-                                bool(interpret))
+                                bool(interpret), False, mxu_dense)
 
         def fn(frames, palette, aux=None):
             # ``planar``: frames are (3, B, H, W) channel-major planes (the
@@ -752,7 +754,15 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
             cols = jnp.concatenate(
                 [palette.astype(jnp.float32),
                  jnp.full((pp - p, 3), 1.0e6, jnp.float32)], axis=0)
-            if pp > 64:
+            if mxu_dense:
+                # Augmented (pp, 8) palette: [c, -|c|^2/2, 0-pad]. Palette
+                # components are small exact ints, so the traced sum of
+                # squares matches the host-precomputed values bit-for-bit.
+                pal_dev = jnp.concatenate(
+                    [cols, -0.5 * jnp.sum(cols * cols, axis=1,
+                                          keepdims=True),
+                     jnp.zeros((pp, 4), jnp.float32)], axis=1)
+            elif pp > 64:
                 pal_dev = cols  # lane-form search takes (pp, 3) columns
             else:
                 # Running-min form takes (3*nb, pp) channel-major rows.

@@ -309,6 +309,21 @@ def test_return_indices_planar_and_split(monkeypatch):
     np.testing.assert_array_equal(PAL.astype(np.uint8)[idx], colors)
 
 
+def test_mxu_dense_search_matches_exact(monkeypatch):
+    """DITHER_PIE_TPU_DENSE_SEARCH=mxu rescopes the dense search on the
+    MXU; picks may flip only on near-ties (none at these shapes), and the
+    result must stay perceptually matched to the exact kernel."""
+    rng = np.random.RandomState(17)
+    imgs = rng.randint(0, 256, (2, 12, 18, 3)).astype(np.float32)
+    pal = np.unique(rng.randint(0, 256, (700, 3)), axis=0)[:256].astype(
+        np.float32)
+    exact = wf._run("fixed", imgs.copy(), pal, variant="floyd_steinberg")
+    monkeypatch.setenv("DITHER_PIE_TPU_DENSE_SEARCH", "mxu")
+    mxu = wf._run("fixed", imgs.copy(), pal, variant="floyd_steinberg")
+    for i in range(2):
+        _similar(mxu[i].astype(np.float32), exact[i].astype(np.float32))
+
+
 def test_return_indices_rejects_large_palette():
     imgs = np.zeros((2, 8, 8, 3), np.float32)
     pal = np.unique(np.random.RandomState(0).randint(
