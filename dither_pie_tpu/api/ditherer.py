@@ -837,11 +837,14 @@ def _quant_subband_jnp(sub: "jnp.ndarray", noise: "jnp.ndarray",
 
 
 @functools.lru_cache(maxsize=16)
-def _wavelet_batch_fn(wavelet: str, q_levels: int):
+def _wavelet_batch_fn(wavelet: str, q_levels: int, emit_idx: bool = False):
     """Jitted batched wavelet dither: the noise tensors are frame-invariant
     (the reference re-seeds RandomState(seed) per image), so one draw is
     shared and the whole DWT -> quantize -> IDWT -> randomized top-2 pick
-    vmaps over the frame batch on device."""
+    vmaps over the frame batch on device.
+
+    ``emit_idx``: the final pick leaves the device as (B, H, W) uint8
+    palette indices (the index transfer path, P <= 256)."""
 
     @jax.jit
     def f(imgs, pal, noises, thr):
@@ -857,6 +860,8 @@ def _wavelet_batch_fn(wavelet: str, q_levels: int):
                                          wavelet)
                 chans.append(jnp.clip(rec[:h, :w], 0, 255))
             result = jnp.stack(chans, axis=-1)
+            if emit_idx:
+                return _ordered._ordered_indices_one(result, pal, thr)
             return _ordered.ordered_dither(result, pal, thr)
 
         return jax.vmap(one)(imgs.astype(jnp.float32))
@@ -952,6 +957,19 @@ class WaveletDitherStrategy(BaseDitherStrategy):
                      jnp.asarray(noises), jnp.asarray(thr))
         # float32 like every other dither_batch (callers quantize).
         return np.asarray(out, dtype=np.float32)
+
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        if planar:
+            return None  # wavelet batches are NHWC-only
+        _runtime.jax_platform()
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        noises, thr = self._draw_noise(h, w)
+        fn = _wavelet_batch_fn(self.wavelet, self.subband_quant,
+                               emit_idx=True)
+        idx = fn(jnp.asarray(images), jnp.asarray(pal),
+                 jnp.asarray(noises), jnp.asarray(thr))
+        return np.asarray(idx)
 
     def dither(self, pixels, palette_arr, image_size):
         h, w = image_size
@@ -1275,8 +1293,11 @@ class ImageDitherer:
                 and hasattr(strategy, "dither_batch_indices")
                 and not _auto_mesh_enabled()
                 and _linkspeed.index_transfer_wins()):
-            idx = strategy.dither_batch_indices(work, palette_arr,
-                                                planar=planar)
+            from dither_pie_tpu.api.profiling import stage
+
+            with stage("dither.index_stream"):
+                idx = strategy.dither_batch_indices(work, palette_arr,
+                                                    planar=planar)
             if idx is not None:
                 pal_u8 = palette_arr.astype(np.uint8)  # truncation, like
                 #         the device epilogue's exact-int i32 cast
@@ -1284,9 +1305,10 @@ class ImageDitherer:
                     srgb = DitherUtils.linear_to_srgb(
                         np.clip(pal_u8.astype(np.float32) / 255.0, 0, 1))
                     pal_u8 = np.clip(srgb * 255.0, 0, 255).astype(np.uint8)
-                if planar:
-                    return pal_u8.T[:, idx]  # (3, B, H, W)
-                return pal_u8[idx]  # (B, H, W, 3)
+                with stage("dither.palette_gather"):
+                    if planar:
+                        return pal_u8.T[:, idx]  # (3, B, H, W)
+                    return pal_u8[idx]  # (B, H, W, 3)
 
         if planar:
             out = strategy.dither_batch_planar(work, palette_arr)

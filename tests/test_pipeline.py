@@ -251,7 +251,9 @@ class TestVideoFrames:
                  (dpt.DitherMode.ERROR_DIFFUSION,
                   {"variant": "floyd_steinberg"}, True),
                  (dpt.DitherMode.BAYER, {"size": "4x4"}, False),
-                 (dpt.DitherMode.NONE, {}, False)]
+                 (dpt.DitherMode.NONE, {}, False),
+                 (dpt.DitherMode.WAVELET,
+                  {"wavelet": "haar", "subband_quant": 6, "seed": 3}, False)]
         for mode, params, gamma in cases:
             d = dpt.ImageDitherer(
                 num_colors=4, dither_mode=mode,
