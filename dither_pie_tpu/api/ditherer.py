@@ -1093,6 +1093,20 @@ class HalftoneDitherStrategy(BaseDitherStrategy):
                 jnp.asarray(screen), jnp.asarray(cell_idx), n_cells)
         return np.asarray(out).astype(np.float32)
 
+    def dither_batch_indices(self, images, palette_arr, planar=False):
+        if planar:
+            return None  # halftone batches are NHWC-only
+        b, h, w, _ = images.shape
+        pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        screen, cell_idx, n_cells = _halftone.halftone_screen(
+            h, w, self.cell_size, self.angle, self.dot_gain,
+            self.min_dot_size, self.max_dot_size, self.shape, self.sharpness,
+        )
+        idx = _halftone.halftone_dither_batch_indices(
+            jnp.asarray(images, dtype=jnp.float32), jnp.asarray(pal),
+            jnp.asarray(screen), jnp.asarray(cell_idx), n_cells)
+        return np.asarray(idx)
+
 
 # -------------------- ColorReducer --------------------
 

@@ -111,6 +111,31 @@ def halftone_dither(
 
 
 @functools.partial(jax.jit, static_argnames=("n_cells",))
+def _halftone_indices(image, palette, screen, cell_idx, n_cells):
+    """halftone_dither's pick as (H, W) uint8 palette indices (P <= 256):
+    identical per-cell argmin + ink/paper select, minus the color take."""
+    h, w, _ = image.shape
+    img = image.astype(jnp.float32)
+    gray = (jnp.float32(0.299) * img[..., 0] + jnp.float32(0.587) * img[..., 1]
+            + jnp.float32(0.114) * img[..., 2])
+    gray_norm = gray / jnp.float32(255.0)
+    pal_bright = (jnp.float32(0.299) * palette[:, 0] + jnp.float32(0.587) * palette[:, 1]
+                  + jnp.float32(0.114) * palette[:, 2])
+    paper_idx = jnp.argmax(pal_bright)
+    flat_idx = cell_idx.reshape(-1)
+    flat_px = img.reshape(-1, 3)
+    sums = jax.ops.segment_sum(flat_px, flat_idx, num_segments=n_cells)
+    counts = jax.ops.segment_sum(jnp.ones((h * w,), jnp.float32), flat_idx, num_segments=n_cells)
+    avgs = sums / jnp.maximum(counts, 1.0)[:, None]
+    a2 = jnp.sum(avgs * avgs, axis=-1, keepdims=True)
+    p2 = jnp.sum(palette * palette, axis=-1)[None, :]
+    ap = jnp.dot(avgs, palette.T, precision=jax.lax.Precision.HIGHEST)
+    cell_pal = jnp.argmin(a2 - 2.0 * ap + p2, axis=-1)
+    place_ink = (jnp.float32(1.0) - gray_norm) > screen
+    return jnp.where(place_ink, cell_pal[cell_idx], paper_idx).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells",))
 def halftone_dither_batch(
     images: jnp.ndarray,
     palette: jnp.ndarray,
@@ -121,4 +146,19 @@ def halftone_dither_batch(
     """Batched halftone: (B, H, W, 3) with shared screen/cell layout."""
     return jax.vmap(
         lambda im: halftone_dither(im, palette, screen, cell_idx, n_cells)
+    )(images)
+
+
+@functools.partial(jax.jit, static_argnames=("n_cells",))
+def halftone_dither_batch_indices(
+    images: jnp.ndarray,
+    palette: jnp.ndarray,
+    screen: jnp.ndarray,
+    cell_idx: jnp.ndarray,
+    n_cells: int,
+) -> jnp.ndarray:
+    """Batched index-emitting halftone: (B, H, W) u8 (the index transfer
+    path — 1 byte/pixel off the device, exact host palette gather)."""
+    return jax.vmap(
+        lambda im: _halftone_indices(im, palette, screen, cell_idx, n_cells)
     )(images)

@@ -253,7 +253,9 @@ class TestVideoFrames:
                  (dpt.DitherMode.BAYER, {"size": "4x4"}, False),
                  (dpt.DitherMode.NONE, {}, False),
                  (dpt.DitherMode.WAVELET,
-                  {"wavelet": "haar", "subband_quant": 6, "seed": 3}, False)]
+                  {"wavelet": "haar", "subband_quant": 6, "seed": 3}, False),
+                 (dpt.DitherMode.HALFTONE,
+                  {"cell_size": 4, "angle": 30.0}, False)]
         for mode, params, gamma in cases:
             d = dpt.ImageDitherer(
                 num_colors=4, dither_mode=mode,
