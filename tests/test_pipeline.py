@@ -266,6 +266,19 @@ class TestVideoFrames:
             via_idx = d.apply_dithering_batch(frames.copy())
             np.testing.assert_array_equal(via_idx, rgb, err_msg=str(mode))
 
+    def test_linkspeed_env_and_cpu_probe(self, monkeypatch):
+        """Env var forces the stream choice; the CPU backend has no link,
+        so the probe reports None and the auto choice stays off."""
+        from dither_pie_tpu.api import linkspeed
+
+        monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "1")
+        assert linkspeed.index_transfer_wins()
+        monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "0")
+        assert not linkspeed.index_transfer_wins()
+        monkeypatch.delenv("DITHER_PIE_TPU_INDEX_TRANSFER")
+        assert linkspeed.d2h_bandwidth_mb_s() is None
+        assert not linkspeed.index_transfer_wins()
+
     def test_index_transfer_planar(self, monkeypatch):
         """Planar frames through the index path come back planar."""
         monkeypatch.setenv("DITHER_PIE_TPU_ED_BACKEND", "wavefront")
