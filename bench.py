@@ -372,7 +372,15 @@ def main():
         h2d = nbytes / (time.time() - t0) / 1e6
         details["link_h2d_mb_s"] = round(h2d, 1)
         details["link_d2h_mb_s"] = round(d2h, 1)
-        log(f"link: H2D {h2d:.1f} MB/s, D2H {d2h:.1f} MB/s")
+        from dither_pie_tpu.api.linkspeed import (d2h_bandwidth_mb_s,
+                                                  index_transfer_wins)
+
+        bw = d2h_bandwidth_mb_s()
+        details["index_transfer_auto"] = bool(index_transfer_wins())
+        details["index_transfer_probe_mb_s"] = (round(bw, 1)
+                                                if bw is not None else None)
+        log(f"link: H2D {h2d:.1f} MB/s, D2H {d2h:.1f} MB/s; index transfer "
+            f"auto={details['index_transfer_auto']}")
     except Exception as e:
         errors["link"] = repr(e)
 
