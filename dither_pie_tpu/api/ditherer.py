@@ -1309,9 +1309,20 @@ class ImageDitherer:
                 and _linkspeed.index_transfer_wins()):
             from dither_pie_tpu.api.profiling import stage
 
-            with stage("dither.index_stream"):
-                idx = strategy.dither_batch_indices(work, palette_arr,
-                                                    planar=planar)
+            try:
+                with stage("dither.index_stream"):
+                    idx = strategy.dither_batch_indices(work, palette_arr,
+                                                        planar=planar)
+            except Exception as e:
+                # Auto mode must never be worse than the RGB stream: any
+                # index-path failure (e.g. a backend rejecting the index
+                # kernel variant) falls back silently.
+                import logging
+
+                logging.getLogger("dither_pie_tpu").warning(
+                    "index stream failed (%s); falling back to RGB output",
+                    e)
+                idx = None
             if idx is not None:
                 pal_u8 = palette_arr.astype(np.uint8)  # truncation, like
                 #         the device epilogue's exact-int i32 cast
