@@ -206,23 +206,24 @@ class NoDitherStrategy(BaseDitherStrategy):
         return np.asarray(out, dtype=np.float32)
 
     def dither_batch(self, images, palette_arr):
+        # Nearest-color IS an ordered dither with a saturated screen: the
+        # selection factor d1/(d1+d2) <= 0.5, so screen = 1 always picks
+        # the nearest (same exact integer distances, same lowest-index
+        # tie-break as map_to_palette — bit-identical), and the batch
+        # rides the fused GPix/s kernel instead of materializing an
+        # (N, 3) f32 tensor (42x tile padding on TPU).
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
-        out = map_to_palette(jnp.asarray(images.reshape(-1, 3), dtype=jnp.float32),
-                             jnp.asarray(pal))
-        return np.asarray(out, dtype=np.float32).reshape(b, h, w, 3)
+        screen = jnp.ones((h, w), jnp.float32)
+        return _ordered_batch_dispatch(images, pal, screen)
 
     def dither_batch_indices(self, images, palette_arr, planar=False):
         if planar:
             return None
-        from dither_pie_tpu.core.distance import nearest_palette_idx
-
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
-        idx = nearest_palette_idx(
-            jnp.asarray(images.reshape(-1, 3), dtype=jnp.float32),
-            jnp.asarray(pal))
-        return np.asarray(idx.astype(jnp.uint8)).reshape(b, h, w)
+        screen = jnp.ones((h, w), jnp.float32)
+        return _ordered_batch_indices(images, pal, screen)
 
 
 # -------------------- Ordered (threshold screen) strategies --------------------

@@ -266,6 +266,19 @@ class TestVideoFrames:
             via_idx = d.apply_dithering_batch(frames.copy())
             np.testing.assert_array_equal(via_idx, rgb, err_msg=str(mode))
 
+    def test_none_batch_matches_single(self):
+        """Mode none batches route through the fused ordered kernel with a
+        saturated screen — must be bit-identical to the per-frame
+        map_to_palette path."""
+        pal = [(0, 0, 0), (250, 250, 250), (200, 40, 40), (30, 90, 200)]
+        frames = list(self._frames(4))
+        d = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode.NONE,
+                              palette=list(pal))
+        batch = d.apply_dithering_batch(np.stack(frames))
+        for i, f in enumerate(frames):
+            single = d.apply_dithering_array(f)
+            np.testing.assert_array_equal(batch[i], single)
+
     def test_linkspeed_env_and_cpu_probe(self, monkeypatch):
         """Env var forces the stream choice; the CPU backend has no link,
         so the probe reports None and the auto choice stays off."""
