@@ -518,7 +518,8 @@ def _max_packed_batch(mode: str, variant: str, h: int, w: int, p: int) -> int:
 def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
          aux: Optional[np.ndarray] = None, lum_factor: float = 1.0,
          col_factor: float = 0.2, interpret: Optional[bool] = None,
-         planar: bool = False, return_indices: bool = False) -> np.ndarray:
+         planar: bool = False, return_indices: bool = False,
+         dense_search: Optional[str] = None) -> np.ndarray:
     """images (B, H, W, 3) u8 or f32; aux (B, H, W) f32 or None. Returns
     (B, H, W, 3) uint8 palette colors (u8 end-to-end: f32 NHWC materializes
     with 42x tile padding on TPU).
@@ -545,7 +546,8 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
                      aux=None if aux is None else aux[i:i + nb_max],
                      lum_factor=lum_factor, col_factor=col_factor,
                      interpret=interpret, planar=True,
-                     return_indices=return_indices)
+                     return_indices=return_indices,
+                     dense_search=dense_search)
                 for i in range(0, b, nb_max)
             ]
             return np.concatenate(outs, axis=0 if return_indices else 1)
@@ -558,12 +560,14 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
             out = _run_packed(mode, pad, palette, variant=variant, aux=aux,
                               lum_factor=lum_factor, col_factor=col_factor,
                               interpret=interpret, planar=True,
-                              return_indices=return_indices)
+                              return_indices=return_indices,
+                              dense_search=dense_search)
             return out[:b] if return_indices else out[:, :b]
         return _run_packed(mode, images, palette, variant=variant, aux=aux,
                            lum_factor=lum_factor, col_factor=col_factor,
                            interpret=interpret, planar=True,
-                           return_indices=return_indices)
+                           return_indices=return_indices,
+                           dense_search=dense_search)
     if palette.shape[0] <= PACKED_PALETTE_MAX:
         # Packed-layout kernel: full sublane tiles, verified bit-identical
         # to the native golden engine on hardware. Covers every mode
@@ -582,7 +586,8 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
                 _run(mode, images[i:i + nb_max], palette, variant=variant,
                      aux=None if aux is None else aux[i:i + nb_max],
                      lum_factor=lum_factor, col_factor=col_factor,
-                     interpret=interpret, return_indices=return_indices)
+                     interpret=interpret, return_indices=return_indices,
+                     dense_search=dense_search)
                 for i in range(0, b, nb_max)
             ]
             return np.concatenate(outs, axis=0)
@@ -595,12 +600,14 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
             out = _run_packed(mode, pad, palette, variant=variant, aux=aux,
                               lum_factor=lum_factor, col_factor=col_factor,
                               interpret=interpret,
-                              return_indices=return_indices)
+                              return_indices=return_indices,
+                              dense_search=dense_search)
             return out[:b]
         return _run_packed(mode, images, palette, variant=variant, aux=aux,
                            lum_factor=lum_factor, col_factor=col_factor,
                            interpret=interpret,
-                           return_indices=return_indices)
+                           return_indices=return_indices,
+                           dense_search=dense_search)
     if return_indices:
         raise ValueError("return_indices requires the packed kernel path")
     if interpret is None:
@@ -694,6 +701,9 @@ def ed_batch_wavefront(images: np.ndarray, palette: np.ndarray, mode: str = "fix
                                col_factor=kw.get("col_factor", 0.2))
         if out is not None:
             return out
+    if (_dense_search_mode() == "auto" and "dense_search" not in kw
+            and 64 < palette.shape[0] <= PACKED_PALETTE_MAX):
+        return _dense_gated_run(mode, images, palette, variant, kw)
     return _run(mode, images, palette, variant=variant, **kw)
 
 
@@ -1705,10 +1715,83 @@ def _unskew_idx_packed(idx_skew: jnp.ndarray, s: int, lf: int, h: int,
 
 
 def _dense_search_mode() -> str:
-    """'exact' (default: the bit-verified O(P) VPU sweep) or 'mxu'
-    (DITHER_PIE_TPU_DENSE_SEARCH=mxu: MXU-scored argmax for dense pow2
-    palettes — faster, near-tie picks may flip vs exact)."""
+    """DITHER_PIE_TPU_DENSE_SEARCH: 'exact' (default: the bit-verified
+    O(P) VPU sweep), 'mxu' (MXU-scored argmax for dense pow2 palettes —
+    faster, near-tie picks may flip vs exact), or 'auto' (batched entry
+    runs a first-batch fidelity gate and locks in mxu only if it matches
+    the exact output perceptually — the bf16-gate pattern)."""
     return os.environ.get("DITHER_PIE_TPU_DENSE_SEARCH", "exact")
+
+
+# First-batch fidelity gate for DENSE_SEARCH=auto: keyed by (mode, variant,
+# factors, palette bytes); "mxu" | "exact" once decided for this process.
+_DENSE_GATE_CACHE: dict = {}
+_DENSE_GATE_MIN_IDENTITY = 0.98
+_DENSE_GATE_MAX_BLOCK_MEAN = 2.0
+_DENSE_GATE_MAX_BLOCK_MAX = 32.0
+
+
+def _dense_gate_frames(out, palette, planar, return_indices):
+    """Normalize a batched output to (B, H, W, 3) u8 frames for the
+    fidelity metrics (indices gather through the palette exactly)."""
+    if return_indices:
+        return palette.astype(np.uint8)[out]
+    if planar:
+        return np.ascontiguousarray(np.moveaxis(out, 0, -1))
+    return out
+
+
+def _dense_gated_run(mode, images, palette, variant, kw):
+    """DENSE_SEARCH=auto: first batch runs BOTH searches, gates the MXU
+    form on pixel identity + per-block mean color vs exact (the ED
+    perceptual contract), and locks the choice for this (mode, palette)
+    for the life of the process. Any mxu failure locks exact."""
+    import logging
+
+    key = (mode, variant, float(kw.get("lum_factor", 1.0)),
+           float(kw.get("col_factor", 0.2)),
+           palette.astype(np.float32).tobytes())
+    choice = _DENSE_GATE_CACHE.get(key)
+    if choice is not None:
+        return _run(mode, images, palette, variant=variant,
+                    dense_search=choice, **kw)
+    out_ex = _run(mode, images, palette, variant=variant,
+                  dense_search="exact", **kw)
+    log = logging.getLogger("dither_pie_tpu")
+    try:
+        out_mx = _run(mode, images, palette, variant=variant,
+                      dense_search="mxu", **kw)
+    except Exception as e:
+        log.warning("dense-search gate: mxu path failed (%s); exact "
+                    "locked in", e)
+        _DENSE_GATE_CACHE[key] = "exact"
+        return out_ex
+    planar = bool(kw.get("planar", False))
+    ret_idx = bool(kw.get("return_indices", False))
+    fa = _dense_gate_frames(out_ex, palette, planar, ret_idx)
+    fb = _dense_gate_frames(out_mx, palette, planar, ret_idx)
+    from dither_pie_tpu.core.fidelity import (block_mean_error,
+                                              identity_fraction)
+
+    idents, means, maxes = [], [], []
+    for i in range(fa.shape[0]):
+        idents.append(identity_fraction(fa[i], fb[i]))
+        m, mx = block_mean_error(fa[i].astype(np.float32),
+                                 fb[i].astype(np.float32), block=4)
+        means.append(m)
+        maxes.append(mx)
+    ok = (min(idents) >= _DENSE_GATE_MIN_IDENTITY
+          and max(means) <= _DENSE_GATE_MAX_BLOCK_MEAN
+          and max(maxes) <= _DENSE_GATE_MAX_BLOCK_MAX)
+    _DENSE_GATE_CACHE[key] = "mxu" if ok else "exact"
+    if ok:
+        log.info("dense-search gate: MXU search locked in (identity "
+                 ">= %.4f, block mean <= %.2f)", min(idents), max(means))
+        return out_mx
+    log.warning("dense-search gate FAILED (identity %.4f, block mean "
+                "%.2f, block max %.2f); exact locked in", min(idents),
+                max(means), max(maxes))
+    return out_ex
 
 
 def _pad_palette_aug(pal: np.ndarray, pp: int) -> np.ndarray:
@@ -1735,7 +1818,8 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
                 lum_factor: float = 1.0, col_factor: float = 0.2,
                 interpret: Optional[bool] = None,
                 bucket: bool = True, planar: bool = False,
-                return_indices: bool = False) -> np.ndarray:
+                return_indices: bool = False,
+                dense_search: Optional[str] = None) -> np.ndarray:
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if planar:
@@ -1750,7 +1834,7 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
     chunk = _chunk_for(n_slots)
     lf, _, pp, d_pad = _plan(h, w, p, 1, s, chunk, bucket=bucket)
     mxu_dense = (pp > 64 and pp & (pp - 1) == 0
-                 and _dense_search_mode() == "mxu")
+                 and (dense_search or _dense_search_mode()) == "mxu")
     call = _compiled_packed(mode, variant, d_pad, b, lf, pp,
                             float(lum_factor), float(col_factor),
                             bool(interpret), bool(return_indices),

@@ -324,6 +324,52 @@ def test_mxu_dense_search_matches_exact(monkeypatch):
         _similar(mxu[i].astype(np.float32), exact[i].astype(np.float32))
 
 
+def test_dense_search_auto_gate(monkeypatch):
+    """DENSE_SEARCH=auto runs both searches on the first batch, locks in
+    mxu only when the outputs match perceptually, and caches the choice
+    per (mode, palette)."""
+    rng = np.random.RandomState(4)
+    imgs = rng.randint(0, 256, (2, 12, 16, 3)).astype(np.float32)
+    pal = np.unique(rng.randint(0, 256, (300, 3)), axis=0)[:100].astype(
+        np.float32)
+    base = rng.randint(0, 256, (2, 12, 16, 3)).astype(np.uint8)
+
+    calls = []
+
+    def fake_run(mode, images, palette, variant="", dense_search=None, **kw):
+        calls.append(dense_search)
+        if dense_search == "mxu" and fake_run.mxu_bad:
+            return np.zeros_like(base)  # wildly different -> gate fails
+        return base.copy()
+
+    fake_run.mxu_bad = False
+    monkeypatch.setattr(wf, "_run", fake_run)
+    monkeypatch.setenv("DITHER_PIE_TPU_DENSE_SEARCH", "auto")
+    wf._DENSE_GATE_CACHE.clear()
+
+    out = wf.ed_batch_wavefront(imgs.copy(), pal, "fixed", "floyd_steinberg")
+    np.testing.assert_array_equal(out, base)
+    assert calls == ["exact", "mxu"]  # first batch runs both
+    out = wf.ed_batch_wavefront(imgs.copy(), pal, "fixed", "floyd_steinberg")
+    assert calls[2:] == ["mxu"]  # locked in, single run
+
+    # A failing mxu output locks exact instead.
+    calls.clear()
+    wf._DENSE_GATE_CACHE.clear()
+    fake_run.mxu_bad = True
+    out = wf.ed_batch_wavefront(imgs.copy(), pal, "fixed", "floyd_steinberg")
+    np.testing.assert_array_equal(out, base)
+    assert calls == ["exact", "mxu"]
+    wf.ed_batch_wavefront(imgs.copy(), pal, "fixed", "floyd_steinberg")
+    assert calls[2:] == ["exact"]
+
+    # Small palettes never enter the gate.
+    calls.clear()
+    wf.ed_batch_wavefront(imgs.copy(), PAL, "fixed", "floyd_steinberg")
+    assert calls == [None]
+    wf._DENSE_GATE_CACHE.clear()
+
+
 def test_return_indices_rejects_large_palette():
     imgs = np.zeros((2, 8, 8, 3), np.float32)
     pal = np.unique(np.random.RandomState(0).randint(
