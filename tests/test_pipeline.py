@@ -298,16 +298,17 @@ class TestVideoFrames:
         pal = [(0, 0, 0), (250, 250, 250), (200, 40, 40), (30, 90, 200)]
         frames = np.stack(list(self._frames(3)))
         planes = np.ascontiguousarray(frames.transpose(3, 0, 1, 2))
-        d = dpt.ImageDitherer(
-            num_colors=4, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
-            palette=list(pal),
-            dither_params={"variant": "floyd_steinberg"})
-        monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "0")
-        rgb = d.apply_dithering_batch(planes.copy(), planar=True)
-        monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "1")
-        via_idx = d.apply_dithering_batch(planes.copy(), planar=True)
-        assert via_idx.shape == planes.shape
-        np.testing.assert_array_equal(via_idx, rgb)
+        for gamma in (False, True):
+            d = dpt.ImageDitherer(
+                num_colors=4, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
+                palette=list(pal), use_gamma=gamma,
+                dither_params={"variant": "floyd_steinberg"})
+            monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "0")
+            rgb = d.apply_dithering_batch(planes.copy(), planar=True)
+            monkeypatch.setenv("DITHER_PIE_TPU_INDEX_TRANSFER", "1")
+            via_idx = d.apply_dithering_batch(planes.copy(), planar=True)
+            assert via_idx.shape == planes.shape
+            np.testing.assert_array_equal(via_idx, rgb)
 
     def test_wavelet_batch_matches_single(self):
         """The batched device wavelet path (one vmapped program per batch)
