@@ -1751,6 +1751,8 @@ def _dense_gated_run(mode, images, palette, variant, kw):
     key = (mode, variant, float(kw.get("lum_factor", 1.0)),
            float(kw.get("col_factor", 0.2)),
            palette.astype(np.float32).tobytes())
+    if len(_DENSE_GATE_CACHE) > 64:  # bound the palette-keyed entries
+        _DENSE_GATE_CACHE.clear()
     choice = _DENSE_GATE_CACHE.get(key)
     if choice is not None:
         return _run(mode, images, palette, variant=variant,
