@@ -218,7 +218,7 @@ class NoDitherStrategy(BaseDitherStrategy):
         return _ordered_batch_dispatch(images, pal, screen)
 
     def dither_batch_indices(self, images, palette_arr, planar=False):
-        if planar:
+        if planar or len(palette_arr) > 256:
             return None
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
@@ -256,8 +256,8 @@ class MatrixDitherStrategy(BaseDitherStrategy):
         return _ordered_batch_dispatch(images, pal, screen)
 
     def dither_batch_indices(self, images, palette_arr, planar=False):
-        if planar:
-            return None  # ordered batches are NHWC-only
+        if planar or len(palette_arr) > 256:
+            return None  # NHWC-only; u8 index stream
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _ordered.screen_for_matrix(self.threshold_matrix, h, w)
@@ -366,8 +366,8 @@ class InterleavedGradientNoiseDitherStrategy(BaseDitherStrategy):
         return _ordered_batch_dispatch(images, pal, screen)
 
     def dither_batch_indices(self, images, palette_arr, planar=False):
-        if planar:
-            return None  # ordered batches are NHWC-only
+        if planar or len(palette_arr) > 256:
+            return None  # NHWC-only; u8 index stream
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen = _thresholds.ign_thresholds(h, w, self.scale, self.seed)
@@ -426,13 +426,14 @@ def _require_planar_wavefront(serpentine: bool = False):
 
 
 def _wf_batch_indices(images, pal, mode, planar, serpentine=False, **kw):
-    """Shared index-emitting batch dispatch: (B, H, W) uint8 palette
-    indices from the packed wavefront kernel — one third of the
-    device->host bytes of the RGB path; ``palette_u8[idx]`` on the host
-    reproduces the color output exactly. Returns None when the wavefront
-    path (or the <=256-color index stream) is unavailable."""
+    """Shared index-emitting batch dispatch: (B, H, W) palette indices
+    from the packed wavefront kernel — uint8 to 256 colors, uint16 to
+    1024: a third (resp. two thirds) of the device->host bytes of the
+    RGB path; ``palette_u8[idx]`` on the host reproduces the color
+    output exactly. Returns None when the wavefront path is
+    unavailable."""
     wf = None if serpentine else _wavefront_or_none()
-    if wf is None or len(pal) > 256:
+    if wf is None or len(pal) > wf.PACKED_PALETTE_MAX:
         return None
     return wf.ed_batch_wavefront(np.asarray(images), pal, mode,
                                  planar=planar, return_indices=True, **kw)
@@ -960,8 +961,8 @@ class WaveletDitherStrategy(BaseDitherStrategy):
         return np.asarray(out, dtype=np.float32)
 
     def dither_batch_indices(self, images, palette_arr, planar=False):
-        if planar:
-            return None  # wavelet batches are NHWC-only
+        if planar or len(palette_arr) > 256:
+            return None  # NHWC-only; u8 index stream
         _runtime.jax_platform()
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
@@ -1095,8 +1096,8 @@ class HalftoneDitherStrategy(BaseDitherStrategy):
         return np.asarray(out).astype(np.float32)
 
     def dither_batch_indices(self, images, palette_arr, planar=False):
-        if planar:
-            return None  # halftone batches are NHWC-only
+        if planar or len(palette_arr) > 256:
+            return None  # NHWC-only; u8 index stream
         b, h, w, _ = images.shape
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
         screen, cell_idx, n_cells = _halftone.halftone_screen(
@@ -1304,7 +1305,7 @@ class ImageDitherer:
         # reproduces the color output bit-for-bit. Gamma folds into the
         # palette: output pixels only ever take palette values, so the
         # per-entry linear->sRGB map equals the per-pixel map exactly.
-        if (len(palette_arr) <= 256
+        if (len(palette_arr) <= 1024
                 and hasattr(strategy, "dither_batch_indices")
                 and not _auto_mesh_enabled()
                 and _linkspeed.index_transfer_wins()):

@@ -531,8 +531,9 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     ``return_indices=True`` (palette <= 256, packed path): returns
     (B, H, W) uint8 palette INDICES — a third of the device->host bytes;
     ``palette.astype(uint8)[idx]`` reproduces the color output exactly."""
-    if return_indices and palette.shape[0] > 256:
-        raise ValueError("return_indices requires a palette <= 256 colors")
+    if return_indices and palette.shape[0] > PACKED_PALETTE_MAX:
+        raise ValueError("return_indices requires a palette <= "
+                         f"{PACKED_PALETTE_MAX} colors (the packed kernel)")
     if planar and palette.shape[0] > PACKED_PALETTE_MAX:
         raise ValueError(
             "planar layout requires a palette <= "
@@ -1829,9 +1830,9 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
     else:
         b, h, w, _ = images.shape
     p = palette.shape[0]
-    if return_indices and p > 256:
-        raise ValueError("return_indices requires a palette <= 256 colors "
-                         "(indices ride a uint8 stream)")
+    if return_indices and p > PACKED_PALETTE_MAX:
+        raise ValueError("return_indices requires a palette <= "
+                         f"{PACKED_PALETTE_MAX} colors (the packed kernel)")
     s, n_slots = _scan_params(mode, variant)
     chunk = _chunk_for(n_slots)
     lf, _, pp, d_pad = _plan(h, w, p, 1, s, chunk, bucket=bucket)
@@ -1869,12 +1870,14 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
     dims = jnp.asarray(np.array([w, h], dtype=np.int32))
     col_skew = call(dims, img_skew, pal_dev, aux_skew)
     if return_indices:
-        # 1 byte/pixel leaves the device; the caller maps colors with one
-        # exact host-side palette gather (palette entries are the same u8
-        # values the color epilogue packs).
+        # 1 byte/pixel (2 for >256-color palettes) leaves the device; the
+        # caller maps colors with one exact host-side palette gather
+        # (palette entries are the same u8 values the color epilogue
+        # packs).
         idx = _unskew_idx_packed(col_skew, s, lf, h, w,
                                  interpret=bool(interpret))
-        return np.asarray(idx.astype(jnp.uint8))
+        dt = jnp.uint8 if p <= 256 else jnp.uint16
+        return np.asarray(idx.astype(dt))
     out = _unskew_unpack_colors(col_skew, s, lf, h, w, bool(interpret),
                                 planar_out=planar)
     return np.asarray(out)

@@ -295,6 +295,20 @@ def test_return_indices_dense_palette():
     np.testing.assert_array_equal(pal.astype(np.uint8)[idx], colors)
 
 
+def test_return_indices_u16_past_256():
+    """Palettes past 256 colors ride a uint16 index stream (2 bytes/px
+    instead of 3 for RGB) with the same exact gather identity."""
+    rng = np.random.RandomState(6)
+    imgs = rng.randint(0, 256, (2, 10, 14, 3)).astype(np.float32)
+    pal = np.unique(rng.randint(0, 256, (900, 3)), axis=0)[:300].astype(
+        np.float32)
+    colors = wf._run("fixed", imgs.copy(), pal, variant="floyd_steinberg")
+    idx = wf._run("fixed", imgs.copy(), pal, variant="floyd_steinberg",
+                  return_indices=True)
+    assert idx.dtype == np.uint16
+    np.testing.assert_array_equal(pal.astype(np.uint8)[idx], colors)
+
+
 def test_return_indices_planar_and_split(monkeypatch):
     """Planar input layout and VMEM batch splitting both preserve the
     index/color correspondence (indices are layout-free: (B, H, W))."""
@@ -373,8 +387,9 @@ def test_dense_search_auto_gate(monkeypatch):
 def test_return_indices_rejects_large_palette():
     imgs = np.zeros((2, 8, 8, 3), np.float32)
     pal = np.unique(np.random.RandomState(0).randint(
-        0, 256, (900, 3)), axis=0)[:300].astype(np.float32)
-    with pytest.raises(ValueError, match="256"):
+        0, 256, (8000, 3)), axis=0)[:1100].astype(np.float32)
+    assert pal.shape[0] == 1100
+    with pytest.raises(ValueError, match="1024"):
         wf._run("fixed", imgs, pal, variant="floyd_steinberg",
                 return_indices=True)
 
