@@ -121,6 +121,24 @@ def main():
                   ed_host.ed_fixed_fast(imgs[3].copy(), pal512,
                                         "floyd_steinberg", False))
 
+            # Index-emitting kernel variants (the 1-2 byte/pixel transfer
+            # stream): the host palette gather must reproduce the color
+            # output bit-for-bit at scale, u8 (P<=256) and u16 (P>256).
+            col = wf.ed_batch_wavefront(imgs.copy(), pal8, "fixed",
+                                        "floyd_steinberg")
+            idx = wf.ed_batch_wavefront(imgs.copy(), pal8, "fixed",
+                                        "floyd_steinberg",
+                                        return_indices=True)
+            check(f"{tag} {h}p/fs-idx-gather",
+                  pal8.astype(np.uint8)[idx][3], col[3])
+            col = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
+                                        "floyd_steinberg")
+            idx = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
+                                        "floyd_steinberg",
+                                        return_indices=True)
+            check(f"{tag} {h}p/fs-pal512-idx16-gather",
+                  pal512.astype(np.uint8)[idx][3], col[3])
+
             # Planar entry (the video pipeline's zero-copy ffmpeg-gbrp
             # flow): same kernel core, different skew/unskew data movers —
             # sweep it at scale on both the small- and dense-palette
