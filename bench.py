@@ -53,6 +53,24 @@ def synth_image(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def _accelerator_alive(timeout=240):
+    """Probe backend init in a SUBPROCESS: a wedged accelerator relay can
+    HANG jax.devices() indefinitely (observed: 5h outage where every
+    probe blocked rather than erroring), and backend config is immutable
+    after first in-process use — so the liveness check must not touch the
+    backend in this process."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('BACKEND_OK')"],
+            timeout=timeout, capture_output=True, text=True)
+        return "BACKEND_OK" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -62,7 +80,14 @@ def main():
     enable_compilation_cache()
 
     platform = None
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and not _accelerator_alive():
+        log("accelerator backend unreachable (subprocess probe); "
+            "falling back to CPU")
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu"
     for attempt in range(6):
+        if platform is not None:
+            break
         try:
             jax.devices()
             platform = jax.default_backend()
