@@ -12,9 +12,12 @@ Run on a TPU host:  python tools/identity_sweep.py [--quick]
 Expect: identity 1.0 on every line. Anything below 1.0 is a regression.
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def synth(h, w, b, seed, as_u8):
