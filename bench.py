@@ -318,8 +318,12 @@ def main():
     try:
         # Differential in the BATCH dimension: time one batch-100 dispatch
         # vs one batch-4 dispatch — relay overhead cancels, every step pays
-        # the full input prep (multi-call chain programs with several 600 MB
-        # u8 params trip an XLA layout pathology and OOM; see ROADMAP).
+        # the full input prep. (Historical note: multi-call chain programs
+        # with several 600 MB u8 params used to trip an XLA layout pathology
+        # and OOM; the current jax/libtpu no longer reproduces it in any
+        # form — tools/xla_layout_repro.py --chain, verified on v5e
+        # 2026-08-18 — but the differential stays: it cancels relay
+        # per-dispatch overhead, which a chain does not.)
         B_C, B_S = (4, 2) if small else (100, 4)
         frames_big = jnp.asarray(np.stack(
             [synth_image(H, W, 100 + i) for i in range(B_C)]))

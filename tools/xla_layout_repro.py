@@ -10,16 +10,23 @@ minor). A u8 array whose minor dimension is 3 pads 3 lanes -> 128, i.e.
 (the real pipeline) get the sane {2,1,0} layout and are unaffected.
 
 Run on a TPU host:       python tools/xla_layout_repro.py [n_params] [batch]
+Flags: --pallas  planarized tensors feed pallas_call identity operands
+       --chain   the ORIGINAL failing harness (n_params distinct batch-100
+                 u8 buffers chained through ordered_dither_fused in one
+                 jitted program)
 
-Status: the plain-XLA REDUCED form does NOT reproduce the pathology — with
-plain returned outputs both 1- and 3-param programs get healthy 1.0x
-layouts (measured on v5e, jax 0.9). The original failure had the
-planarized tensors consumed by pallas_call operands inside a multi-call
-chain; `--pallas` runs that form (each planarized tensor feeds a trivial
-pallas_call identity kernel, n_params calls in one program), which is the
-minimal self-contained candidate for an upstream report. If `--pallas`
-reports temp >> args or OOMs at sizes where the plain form is healthy,
-attach THIS file to the report.
+Status (v5e hardware, 2026-08-18): the pathology NO LONGER REPRODUCES in
+any form on the current stack —
+  * plain reduced form (3 params, batch 100): temp 0.0x of args, runs;
+  * --pallas (3 and 5 params, batch 100): temp 0.2-0.3x, runs;
+  * --chain, the original failing harness itself: temp 1.1x (the sane
+    planar-copy allotment), compiles and executes.
+Earlier in round 2 the --chain form OOMed HBM via a {0,2,1} channel-minor
+layout on the NHWC->planar copies (42.7x tile padding). Resolved upstream
+by the jax/libtpu in this image; this tool stays as the regression probe —
+rerun all three forms after any jax upgrade. bench.py config 3 keeps the
+batch-size-differential methodology regardless (it cancels relay
+per-dispatch overhead, which the chain form does not).
 
 This script is self-contained diagnostics — not part of the library.
 """
@@ -53,14 +60,66 @@ def _pallas_identity(plane):
     )(plane)
 
 
-def main():
+def _chain_main(n_params: int, batch: int):
+    """The ORIGINAL failing harness: n_params distinct (batch, 1080, 1920, 3)
+    u8 buffers chained through ordered_dither_fused inside one jitted
+    program (full-sum consumption so the epilogue can't be sliced away)."""
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
+    from dither_pie_tpu.core.thresholds import bayer_matrix
+    from dither_pie_tpu.ops.ordered import tile_screen_device
+    from dither_pie_tpu.ops.ordered_pallas import ordered_dither_fused
+
+    h, w = 1080, 1920
+    cpu = jax.default_backend() == "cpu"
+    pal = jnp.asarray(np.random.RandomState(0)
+                      .randint(0, 256, (16, 3)).astype(np.float32))
+    screen = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), h, w)
+
+    @jax.jit
+    def f(pal, *frames):
+        acc = jnp.float32(0)
+        for fr in frames:
+            out = ordered_dither_fused(fr, pal.at[0, 0].set(acc), screen,
+                                       interpret=cpu, bucket=False)
+            acc = (jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
+                   * jnp.float32(1e-12))
+        return acc
+
+    fill = jax.jit(lambda i: jnp.full((batch, h, w, 3), i, jnp.uint8))
+    frames = [jax.block_until_ready(fill(i)) for i in range(n_params)]
+    arg_bytes = n_params * batch * h * w * 3
+    print(f"chain: params={n_params} batch={batch} "
+          f"args={arg_bytes/1e9:.2f} GB", flush=True)
+    try:
+        compiled = f.lower(pal, *frames).compile()
+        mem = compiled.memory_analysis()
+        if mem is not None:
+            print(f"temp allocation: {mem.temp_size_in_bytes/1e9:.2f} GB "
+                  f"({mem.temp_size_in_bytes/max(arg_bytes,1):.1f}x of args)")
+        out = jax.block_until_ready(f(pal, *frames))
+        print("executed ok:", float(out))
+    except Exception as e:
+        print(f"FAILED ({type(e).__name__}): {str(e)[:300]}")
+
+
+def main():
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     use_pallas = "--pallas" in sys.argv
     n_params = int(args[0]) if args else 3
     batch = int(args[1]) if len(args) > 1 else 100
+    if "--chain" in sys.argv:
+        _chain_main(n_params, batch)
+        return
+
+    import jax
+    import jax.numpy as jnp
+
     h, w = 1080, 1920
 
     def planarize(x):
