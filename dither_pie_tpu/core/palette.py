@@ -11,6 +11,12 @@ Parity notes (vs /root/reference/dithering_lib.py:1807-1872):
   sklearn's KMeans). We instead use a seeded subsample and a jitted
   kmeans++/Lloyd implementation on device — deterministic by construction,
   perceptually equivalent. ``random_state`` seeds both.
+  ``DITHER_PIE_TPU_KMEANS=sklearn`` opts into the reference's exact
+  algorithm instead (unseeded stdlib subsample + sklearn KMeans +
+  truncating int cast, /root/reference/dithering_lib.py:1846-1857) for
+  users who need palettes from the reference's own distribution —
+  bit-identical to a reference run for images <= 10k pixels, same
+  sampling nondeterminism above that. Requires sklearn.
 * ``uniform_palette`` reproduces the reference's cube walk including its
   inner-loop-only break quirk.
 """
@@ -122,6 +128,31 @@ def _kmeans_fit(points: jnp.ndarray, key: jax.Array, k: int, iters: int = 64) ->
     return jax.lax.fori_loop(0, iters, lloyd, centers)
 
 
+def _kmeans_palette_sklearn(
+    rgb_u8: np.ndarray, num_colors: int, random_state: int, sample_cap: int
+) -> List[RGB]:
+    """The reference's exact k-means path
+    (/root/reference/dithering_lib.py:1846-1857): unseeded stdlib
+    ``random.sample`` subsample above the cap, sklearn KMeans with the
+    given random_state, truncating int cast of the centers. Bit-identical
+    to a reference run when no sampling happens (<= cap pixels)."""
+    import random
+
+    from sklearn.cluster import KMeans
+
+    pix = rgb_u8.reshape(-1, 3)
+    if len(pix) > sample_cap:
+        idx = random.sample(range(len(pix)), sample_cap)
+        pix = pix[idx]
+    km = KMeans(n_clusters=max(1, min(int(num_colors), len(pix))),
+                random_state=random_state)
+    km.fit(pix)
+    out = [tuple(int(v) for v in c) for c in km.cluster_centers_.astype(int)]
+    while len(out) < num_colors:
+        out.append(out[-1])
+    return out
+
+
 def kmeans_palette(
     rgb_u8: np.ndarray,
     num_colors: int,
@@ -132,7 +163,16 @@ def kmeans_palette(
 
     Keeps the reference's <=10k-pixel subsample cap
     (/root/reference/dithering_lib.py:1850-1853) but with a seeded sampler.
+    ``DITHER_PIE_TPU_KMEANS=sklearn`` routes to the reference's exact
+    sklearn algorithm instead (see module docstring).
     """
+    import os
+
+    if os.environ.get("DITHER_PIE_TPU_KMEANS", "").lower() in (
+            "sklearn", "reference"):
+        return _kmeans_palette_sklearn(rgb_u8, num_colors, random_state,
+                                       sample_cap)
+
     from dither_pie_tpu.api.runtime import jax_platform
 
     jax_platform()  # resolve backend (CPU fallback) before the jitted fit

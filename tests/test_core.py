@@ -71,6 +71,20 @@ def test_kmeans_inertia_within_5pct_of_sklearn(k):
     assert inertia_ours <= 1.05 * inertia_sk, (inertia_ours, inertia_sk)
 
 
+def test_kmeans_sklearn_mode_bit_identical_to_reference(reference, monkeypatch):
+    """DITHER_PIE_TPU_KMEANS=sklearn runs the reference's exact algorithm:
+    for a <=10k-pixel image (no subsampling, so no unseeded-random
+    divergence) the palette must equal the reference's
+    generate_kmeans_palette output exactly."""
+    pytest.importorskip("sklearn")
+    monkeypatch.setenv("DITHER_PIE_TPU_KMEANS", "sklearn")
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (80, 100, 3)).astype(np.uint8)  # 8000 px
+    ours = dpt.ColorReducer.generate_kmeans_palette(Image.fromarray(img), 8)
+    ref = reference.ColorReducer.generate_kmeans_palette(Image.fromarray(img), 8)
+    assert [tuple(c) for c in ours] == [tuple(c) for c in ref]
+
+
 def test_builtin_palettes_byte_identical_to_reference():
     """The serialized builtin palette list must equal the reference's
     palette.json verbatim — including its hand-entry quirk (the first
