@@ -437,6 +437,44 @@ class TestResume:
         other = dict(expect, segment_size=100)
         assert rz.load_manifest(out, other) == set()
 
+    def test_concat_lock_claim_and_block(self, tmp_path):
+        from dither_pie_tpu.pipeline.video import VideoProcessor as VP
+
+        lock = str(tmp_path / "out.mp4.concat.lock")
+        assert VP._claim_concat_lock(lock) is True
+        # Live holder (this pid, this host): a second claim must lose.
+        assert VP._claim_concat_lock(lock) is False
+        os.remove(lock)
+        assert VP._claim_concat_lock(lock) is True
+
+    def test_concat_lock_reclaims_dead_pid(self, tmp_path):
+        import socket
+        import subprocess as sp
+
+        from dither_pie_tpu.pipeline.video import VideoProcessor as VP
+
+        lock = str(tmp_path / "out.mp4.concat.lock")
+        # A pid that existed and is now certainly gone on this host.
+        child = sp.Popen([sys.executable, "-c", "pass"])
+        child.wait()
+        Path(lock).write_text(f"{child.pid} {socket.gethostname()}")
+        assert VP._claim_concat_lock(lock) is True  # reclaimed
+        assert Path(lock).read_text().split()[0] == str(os.getpid())
+
+    def test_concat_lock_reclaims_stale_remote(self, tmp_path):
+        import socket
+
+        from dither_pie_tpu.pipeline.video import VideoProcessor as VP
+
+        lock = str(tmp_path / "out.mp4.concat.lock")
+        # Remote host's pid: liveness unknowable locally, so only the
+        # stale-age rule may reclaim it.
+        Path(lock).write_text(f"12345 not-{socket.gethostname()}")
+        assert VP._claim_concat_lock(lock) is False
+        old = os.path.getmtime(lock) - (VP.CONCAT_LOCK_STALE_S + 10)
+        os.utime(lock, (old, old))
+        assert VP._claim_concat_lock(lock) is True
+
 
 class TestTools:
     def test_resizer_image(self, tmp_path, tmp_image):
