@@ -38,10 +38,17 @@ def d2h_bandwidth_mb_s() -> Optional[float]:
         if jax.default_backend() == "cpu":
             _cache["d2h"] = None
             return None
-        x = jnp.zeros((_PROBE_BYTES,), jnp.uint8)
-        x.block_until_ready()
+        # A DISTINCT device array per rep: jax caches an array's host value
+        # after the first np.asarray, so re-reading the same array measures
+        # the cache (observed: a 42 MB/s link probing as 293 GB/s), and a
+        # constant fill (zeros) risks relay-side dedup on dev tunnels.
+        make = jax.jit(lambda i: (jnp.arange(_PROBE_BYTES, dtype=jnp.uint32)
+                                  * (i + jnp.uint32(2654435761))
+                                  ).astype(jnp.uint8))
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
+            x = make(jnp.uint32(i))
+            x.block_until_ready()
             t0 = time.perf_counter()
             np.asarray(x)
             best = min(best, time.perf_counter() - t0)
