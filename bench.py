@@ -104,7 +104,9 @@ def main():
     small = os.environ.get("BENCH_SMALL") == "1"  # CI smoke on CPU
 
     # BENCH_CONFIGS="4,5" reruns only the named configs (development /
-    # methodology validation; the driver runs everything).
+    # methodology validation; the driver runs everything). Standalone:
+    # 1, 2, 3, A, link, 4, 4b, 5, fidelity. 2b/2bm and 2p reuse config 2's
+    # buffers -- include "2" when selecting them.
     only = os.environ.get("BENCH_CONFIGS")
 
     class _SkipBench(Exception):
@@ -593,7 +595,9 @@ def main():
         from dither_pie_tpu.models.pixelizer import NeuralPixelizer
         from dither_pie_tpu.pipeline import pixelize as pixmod
         from dither_pie_tpu.pipeline.video import process_frames
-        from dither_pie_tpu.api.ditherer import DitherMode, ImageDitherer
+        from dither_pie_tpu.api.ditherer import (ColorReducer, DitherMode,
+                                                 ImageDitherer)
+        from PIL import Image
 
         model = PixelizationModel()
         model.load_random(0)

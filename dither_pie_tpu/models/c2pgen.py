@@ -175,8 +175,14 @@ def c2pgen_forward(p: Params, clipart: jnp.ndarray,
 
     ``precision``: matmul/conv precision ("float32" default — full f32,
     the torch-parity contract for every direct caller; "bfloat16" is the
-    MXU fast mode the inference wrappers opt into)."""
-    with jax.default_matmul_precision(precision):
+    MXU fast mode the inference wrappers opt into: bf16 matmul passes AND
+    bf16 activations end-to-end — half the HBM traffic — with every
+    normalization's statistics still computed in f32; see
+    layers.bf16_activations). Output is always f32."""
+    from dither_pie_tpu.models.layers import bf16_activations
+
+    fast = precision == "bfloat16"
+    with jax.default_matmul_precision(precision), bf16_activations(fast):
         feature = rgb_encoder(p, "RGBEnc", clipart)
         if adain is None:
             adain = style_adain(p, reference, s, precision=precision)
@@ -187,7 +193,8 @@ def c2pgen_forward(p: Params, clipart: jnp.ndarray,
             # the batch.
             adain = jnp.broadcast_to(adain,
                                      (feature.shape[0], adain.shape[1]))
-        return rgb_decoder(p, "RGBDec", feature, adain)
+        return rgb_decoder(p, "RGBDec", feature,
+                           adain).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -198,9 +205,12 @@ def c2pgen_forward(p: Params, clipart: jnp.ndarray,
 def aliasnet_forward(p: Params, x: jnp.ndarray,
                      precision: str = "float32") -> jnp.ndarray:
     """Anti-aliasing net: encoder (in-norm) + decoder, reflect padding.
-    ``precision`` as in :func:`c2pgen_forward`."""
-    with jax.default_matmul_precision(precision):
-        return _aliasnet_body(p, x)
+    ``precision`` as in :func:`c2pgen_forward`; output always f32."""
+    from dither_pie_tpu.models.layers import bf16_activations
+
+    fast = precision == "bfloat16"
+    with jax.default_matmul_precision(precision), bf16_activations(fast):
+        return _aliasnet_body(p, x).astype(jnp.float32)
 
 
 def _aliasnet_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:

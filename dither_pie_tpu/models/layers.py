@@ -19,7 +19,9 @@ replicate the reference layers bit-for-bit where they are quirky:
 
 from __future__ import annotations
 
+import contextlib
 import math
+import threading
 from typing import Callable, Dict, Optional
 
 import jax
@@ -28,6 +30,30 @@ import jax.numpy as jnp
 Params = Dict[str, jnp.ndarray]
 
 _DN = ("NHWC", "HWIO", "NHWC")
+
+# bf16-activation fast mode (trace-time flag; thread-local because the
+# video pipeline's overlap pool can trace two programs concurrently).
+# When on: conv/linear operands and activations flow as bf16 (MXU-native
+# ingest, half the HBM traffic), while every normalization computes its
+# statistics in f32 (bf16 accumulation over ~500k elements loses digits).
+# Opt-in only via the "bfloat16" precision mode, which is already a lossy
+# fast path behind the first-batch parity gate
+# (models/inference.py PixelizationModel._gated_batch_forward).
+_tls = threading.local()
+
+
+@contextlib.contextmanager
+def bf16_activations(on: bool):
+    prev = getattr(_tls, "bf16_act", False)
+    _tls.bf16_act = bool(on)
+    try:
+        yield
+    finally:
+        _tls.bf16_act = prev
+
+
+def _act_fast() -> bool:
+    return getattr(_tls, "bf16_act", False)
 
 
 def pad2d(x: jnp.ndarray, pad: int, pad_type: str) -> jnp.ndarray:
@@ -46,32 +72,41 @@ def conv2d(x: jnp.ndarray, w_hwio: jnp.ndarray, b: Optional[jnp.ndarray],
     # Precision comes from the enclosing jax.default_matmul_precision
     # context set by c2pgen_forward/aliasnet_forward (defaults "float32"
     # — torch-parity; "bfloat16" is the opt-in MXU-native fast mode).
+    if _act_fast():
+        x = x.astype(jnp.bfloat16)
+        w_hwio = w_hwio.astype(jnp.bfloat16)
     out = jax.lax.conv_general_dilated(
         x, w_hwio, (stride, stride), "VALID", dimension_numbers=_DN)
     if b is not None:
-        out = out + b
+        out = out + b.astype(out.dtype)
     return out
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Per-(sample, channel) normalization over H, W; no affine."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    """Per-(sample, channel) normalization over H, W; no affine.
+    Statistics always in f32 (bf16 reduction over H*W loses digits)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean((xf - mean) ** 2, axis=(1, 2), keepdims=True)
+    return (((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+            if x.dtype != jnp.float32
+            else (xf - mean) * jax.lax.rsqrt(var + eps))
 
 
 def custom_layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
                       eps: float = 1e-5) -> jnp.ndarray:
     """Reference LayerNorm: per-sample over all axes, UNBIASED std,
-    divide by (std + eps), channel-wise affine."""
+    divide by (std + eps), channel-wise affine. Statistics in f32."""
     b = x.shape[0]
-    flat = x.reshape(b, -1)
+    flat = x.astype(jnp.float32).reshape(b, -1)
     n = flat.shape[1]
     mean = jnp.mean(flat, axis=1)
     var_unbiased = jnp.sum((flat - mean[:, None]) ** 2, axis=1) / (n - 1)
     std = jnp.sqrt(var_unbiased)
-    xn = (x - mean[:, None, None, None]) / (std + eps)[:, None, None, None]
-    return xn * gamma[None, None, None, :] + beta[None, None, None, :]
+    xn = (x.astype(jnp.float32) - mean[:, None, None, None]) \
+        / (std + eps)[:, None, None, None]
+    out = xn * gamma[None, None, None, :] + beta[None, None, None, :]
+    return out.astype(x.dtype) if x.dtype != jnp.float32 else out
 
 
 def activation(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
@@ -118,7 +153,10 @@ def res_blocks(p: Params, key: str, x: jnp.ndarray, n: int, norm: str,
 
 
 def linear_block(p: Params, key: str, x: jnp.ndarray, act: str) -> jnp.ndarray:
-    x = jnp.dot(x, p[f"{key}.fc.weight"]) + p[f"{key}.fc.bias"]
+    w, b = p[f"{key}.fc.weight"], p[f"{key}.fc.bias"]
+    if _act_fast():
+        x, w = x.astype(jnp.bfloat16), w.astype(jnp.bfloat16)
+    x = jnp.dot(x, w) + b.astype(x.dtype)
     return activation(act)(x)
 
 
@@ -137,9 +175,13 @@ def modulated_conv(p: Params, key: str, x: jnp.ndarray,
     wscale = 1.0 / math.sqrt(fan_in)
     pad = k // 2
 
-    wm = (w * wscale)[None] * code[:, None, None, :, None]  # (B,k,k,i,o)
+    # Modulation/demodulation statistics always in f32 (tiny tensors).
+    wm = ((w * wscale)[None].astype(jnp.float32)
+          * code[:, None, None, :, None].astype(jnp.float32))  # (B,k,k,i,o)
     norm = jnp.sqrt(jnp.sum(wm * wm, axis=(1, 2, 3)) + 1e-8)  # (B,o)
     wm = wm / norm[:, None, None, None, :]
+    if _act_fast():
+        x, wm = x.astype(jnp.bfloat16), wm.astype(jnp.bfloat16)
 
     def one(xb, wb):
         xb = jnp.pad(xb[None], ((0, 0), (pad, pad), (pad, pad), (0, 0)))
@@ -147,8 +189,9 @@ def modulated_conv(p: Params, key: str, x: jnp.ndarray,
             xb, wb, (1, 1), "VALID", dimension_numbers=_DN)[0]
 
     out = jax.vmap(one)(x, wm)
-    out = out + bias
-    return jax.nn.leaky_relu(out, 0.2) * math.sqrt(2.0)
+    out = out + bias.astype(out.dtype)
+    return jax.nn.leaky_relu(out, 0.2) * jnp.asarray(math.sqrt(2.0),
+                                                     out.dtype)
 
 
 def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
