@@ -157,8 +157,12 @@ def main():
 
         hs, ws = (64, 64) if small else (512, 512)
         # Distinct input per repeat: the dev relay dedupes byte-identical
-        # small dispatches, which zeroes the differential otherwise.
-        imgs1 = [jnp.asarray(synth_image(hs, ws, 1 + i)[None])
+        # small dispatches, which zeroes the differential otherwise — and
+        # the dedup cache survives ACROSS processes (observed: a rerun
+        # with the same seeds measured 0.000 ms), so salt the seeds with
+        # the pid.
+        salt = (os.getpid() * 1009) % 1_000_000
+        imgs1 = [jnp.asarray(synth_image(hs, ws, 1 + i + salt)[None])
                  for i in range(14)]
         screen1 = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), hs, ws)
 
