@@ -699,16 +699,21 @@ def main():
         fid = {}
         # Every fixed variant (all 8), the per-pixel-weight/aux modes, and
         # the 256-color lane-search path. tools/identity_sweep.py measures
-        # the same cells at 480p/720p scale; this is the per-run gate.
+        # the same cells at 480p-1080p scale; this is the per-run gate.
+        # Golden = the f32-semantics engine (the reference's Numba-path
+        # arithmetic — the kernel's bit-for-bit contract; the f64-exact
+        # engine legitimately flips exact half-way palette ties, which u8
+        # content can reach — see tools/identity_sweep.py).
         for variant in ("floyd_steinberg", "jjn", "stucki", "burkes",
                         "atkinson", "sierra", "sierra_two_row",
                         "sierra_lite"):
             o = wf.ed_fixed_wavefront(im.copy(), pal4, variant)
             fid[variant] = round(identity_fraction(
-                o, ed_host.ed_fixed(im.copy(), pal4, variant, False)), 4)
+                o, ed_host.ed_fixed_fast(im.copy(), pal4, variant,
+                                         False)), 4)
         o = wf.ed_ostromoukhov_wavefront(im.copy(), pal4)
         fid["ostromoukhov"] = round(identity_fraction(
-            o, ed_host.ed_ostromoukhov(im.copy(), pal4, False)), 4)
+            o, ed_host.ed_ostromoukhov_fast(im.copy(), pal4, False)), 4)
         o = wf.ed_hybrid_wavefront(im.copy(), pal4, 1.0, 0.2)
         fid["hybrid"] = round(identity_fraction(
             o, ed_host.ed_hybrid(im.copy(), pal4, 1.0, 0.2, True)), 4)

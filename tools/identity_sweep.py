@@ -8,8 +8,21 @@ error-accumulation-order divergence (the golden engine folds error from
 the image value in contributor-scan order; a single accumulated error
 buffer diverges at scale — see DESIGN.md "Exact accumulation order").
 
-Run on a TPU host:  python tools/identity_sweep.py [--quick]
+Golden semantics: every cell gates on the f32-arithmetic engine (the
+reference's Numba-path semantics, which the kernel implements
+bit-for-bit). The f64-exact engine (scipy-KDTree candidate ordering)
+legitimately differs on exact half-way palette ties, which u8 content
+can reach (error fractions like 0.5 are exactly representable) — first
+observed at u8 1080p/ostromoukhov, where ONE such tie ([0,0,~127.5]
+between black and blue) flips and diffuses to 24% of downstream pixels
+while the kernel stays 1.0 vs the f32 engine.
+
+Run on a TPU host:  python tools/identity_sweep.py [--quick | --p1080]
 Expect: identity 1.0 on every line. Anything below 1.0 is a regression.
+
+--p1080 sweeps the headline resolution (1080p) with a focused cell set
+(fs/stucki/ostromoukhov, 256-color, index-gather, planar) — the full
+variant grid runs at 480p/720p by default.
 """
 
 import os
@@ -43,12 +56,24 @@ def main():
 
     enable_compilation_cache()
     quick = "--quick" in sys.argv
-    shapes = [(480, 640)] if quick else [(480, 640), (720, 1280)]
-    # ALL 8 fixed variants: burkes/sierra/sierra_two_row were skipped in
-    # round 2 — and the accumulation-order divergence class this sweep
-    # exists to catch appeared ONLY at 720p scale.
-    variants = ["floyd_steinberg", "stucki", "atkinson", "jjn",
-                "sierra_lite", "burkes", "sierra", "sierra_two_row"]
+    # --p1080 sweeps the HEADLINE resolution with a focused variant set
+    # (the full 8-variant × 2-shape grid already runs at 480p/720p; the
+    # divergence classes this sweep catches are shape-scaling bugs, so one
+    # deep shape + one wide variant grid covers both axes).
+    p1080 = "--p1080" in sys.argv
+    if p1080:
+        shapes = [(1080, 1920)]
+        variants = ["floyd_steinberg", "stucki"]
+    elif quick:
+        shapes = [(480, 640)]
+    else:
+        shapes = [(480, 640), (720, 1280)]
+    if not p1080:
+        # ALL 8 fixed variants: burkes/sierra/sierra_two_row were skipped
+        # in round 2 — and the accumulation-order divergence class this
+        # sweep exists to catch appeared ONLY at 720p scale.
+        variants = ["floyd_steinberg", "stucki", "atkinson", "jjn",
+                    "sierra_lite", "burkes", "sierra", "sierra_two_row"]
     bad = {}
 
     def check(name, out, golden):
@@ -64,34 +89,49 @@ def main():
         tag = "u8" if as_u8 else "f32"
         for (h, w) in shapes:
             imgs = synth(h, w, 8, h, as_u8)
+            # Golden = the f32-semantics engine (the reference's Numba-path
+            # arithmetic, which is what the kernel implements bit-for-bit).
+            # The f64-exact engine (scipy-KDTree candidate ordering, the
+            # reference's no-numba fallback) is NOT the gate: u8 content
+            # reaches exact half-way palette ties (error fractions like 0.5
+            # are exactly representable, so a working value can sit at
+            # b=127.5 between two palette colors), where f64-vs-f32
+            # ordering legitimately differs. First observed: one such tie
+            # at u8 1080p/ostromoukhov (identity 0.763 vs f64 after the
+            # diffusion cone, 1.0 vs f32 — both engines, kernel included,
+            # agree everywhere else).
             for variant in variants:
                 out = wf.ed_batch_wavefront(imgs.copy(), pal8, "fixed",
                                             variant)
-                g = ed_host.ed_fixed(imgs[3].copy(), pal8, variant, False)
+                g = ed_host.ed_fixed_fast(imgs[3].copy(), pal8, variant,
+                                          False)
                 check(f"{tag} {h}p/{variant}", out[3], g)
             out = wf.ed_batch_wavefront(imgs.copy(), pal8, "ostromoukhov")
             check(f"{tag} {h}p/ostromoukhov", out[3],
-                  ed_host.ed_ostromoukhov(imgs[3].copy(), pal8, False))
-            out = wf.ed_batch_wavefront(imgs.copy(), pal8, "hybrid")
-            check(f"{tag} {h}p/hybrid", out[3],
-                  ed_host.ed_hybrid(imgs[3].copy(), pal8, 1.0, 0.2, True))
-            out = wf.ed_batch_wavefront(imgs.copy(), pal8, "perceptual")
-            check(f"{tag} {h}p/perceptual", out[3],
-                  ed_host.ed_perceptual(imgs[3].copy(), pal8))
+                  ed_host.ed_ostromoukhov_fast(imgs[3].copy(), pal8, False))
+            if not p1080:
+                out = wf.ed_batch_wavefront(imgs.copy(), pal8, "hybrid")
+                check(f"{tag} {h}p/hybrid", out[3],
+                      ed_host.ed_hybrid(imgs[3].copy(), pal8, 1.0, 0.2,
+                                        True))
+                out = wf.ed_batch_wavefront(imgs.copy(), pal8, "perceptual")
+                check(f"{tag} {h}p/perceptual", out[3],
+                      ed_host.ed_perceptual(imgs[3].copy(), pal8))
 
-            # Adaptive-variance: the gate is computed exactly as the
-            # strategy computes it (variance map >= threshold).
-            from dither_pie_tpu.ops import adaptive as adp
-            gray = (np.float32(0.299) * imgs[..., 0]
-                    + np.float32(0.587) * imgs[..., 1]
-                    + np.float32(0.114) * imgs[..., 2])
-            gates = np.stack([adp.variance_map_np(g, 1) >= 300.0
-                              for g in gray]).astype(np.float32)
-            out = wf.ed_batch_wavefront(imgs.copy(), pal8, "adaptive",
-                                        aux=gates)
-            check(f"{tag} {h}p/adaptive", out[3],
-                  ed_host.ed_adaptive(imgs[3].copy(), pal8,
-                                      gates[3] > 0.5))
+            if not p1080:
+                # Adaptive-variance: the gate is computed exactly as the
+                # strategy computes it (variance map >= threshold).
+                from dither_pie_tpu.ops import adaptive as adp
+                gray = (np.float32(0.299) * imgs[..., 0]
+                        + np.float32(0.587) * imgs[..., 1]
+                        + np.float32(0.114) * imgs[..., 2])
+                gates = np.stack([adp.variance_map_np(g, 1) >= 300.0
+                                  for g in gray]).astype(np.float32)
+                out = wf.ed_batch_wavefront(imgs.copy(), pal8, "adaptive",
+                                            aux=gates)
+                check(f"{tag} {h}p/adaptive", out[3],
+                      ed_host.ed_adaptive(imgs[3].copy(), pal8,
+                                          gates[3] > 0.5))
 
             # Large palettes exercise the packed lane-search kernel (the
             # round-2 v1 fallback): 256 colors, fs + ostromoukhov. Golden
@@ -118,11 +158,12 @@ def main():
             # halving-tree select at depth 9 on hardware.
             pal512 = np.unique(prng.randint(0, 256, (1400, 3)),
                                axis=0)[:512].astype(np.float32)
-            out = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
-                                        "floyd_steinberg")
-            check(f"{tag} {h}p/fs-pal512", out[3],
-                  ed_host.ed_fixed_fast(imgs[3].copy(), pal512,
-                                        "floyd_steinberg", False))
+            if not p1080:
+                out = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
+                                            "floyd_steinberg")
+                check(f"{tag} {h}p/fs-pal512", out[3],
+                      ed_host.ed_fixed_fast(imgs[3].copy(), pal512,
+                                            "floyd_steinberg", False))
 
             # Index-emitting kernel variants (the 1-2 byte/pixel transfer
             # stream): the host palette gather must reproduce the color
@@ -134,13 +175,14 @@ def main():
                                         return_indices=True)
             check(f"{tag} {h}p/fs-idx-gather",
                   pal8.astype(np.uint8)[idx][3], col[3])
-            col = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
-                                        "floyd_steinberg")
-            idx = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
-                                        "floyd_steinberg",
-                                        return_indices=True)
-            check(f"{tag} {h}p/fs-pal512-idx16-gather",
-                  pal512.astype(np.uint8)[idx][3], col[3])
+            if not p1080:
+                col = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
+                                            "floyd_steinberg")
+                idx = wf.ed_batch_wavefront(imgs.copy(), pal512, "fixed",
+                                            "floyd_steinberg",
+                                            return_indices=True)
+                check(f"{tag} {h}p/fs-pal512-idx16-gather",
+                      pal512.astype(np.uint8)[idx][3], col[3])
 
             # Planar entry (the video pipeline's zero-copy ffmpeg-gbrp
             # flow): same kernel core, different skew/unskew data movers —
@@ -152,12 +194,13 @@ def main():
             check(f"{tag} {h}p/fs-planar", out.transpose(1, 2, 3, 0)[3],
                   ed_host.ed_fixed(imgs[3].copy(), pal8, "floyd_steinberg",
                                    False))
-            out = wf.ed_batch_wavefront(planes.copy(), pal256,
-                                        "ostromoukhov", planar=True)
-            check(f"{tag} {h}p/ostromoukhov-pal256-planar",
-                  out.transpose(1, 2, 3, 0)[3],
-                  ed_host.ed_ostromoukhov_fast(imgs[3].copy(), pal256,
-                                               False))
+            if not p1080:
+                out = wf.ed_batch_wavefront(planes.copy(), pal256,
+                                            "ostromoukhov", planar=True)
+                check(f"{tag} {h}p/ostromoukhov-pal256-planar",
+                      out.transpose(1, 2, 3, 0)[3],
+                      ed_host.ed_ostromoukhov_fast(imgs[3].copy(), pal256,
+                                                   False))
 
     print("ALL BIT-IDENTICAL" if not bad else f"DIVERGENT: {bad}")
     return 0 if not bad else 1
