@@ -716,10 +716,10 @@ def main():
             o, ed_host.ed_ostromoukhov_fast(im.copy(), pal4, False)), 4)
         o = wf.ed_hybrid_wavefront(im.copy(), pal4, 1.0, 0.2)
         fid["hybrid"] = round(identity_fraction(
-            o, ed_host.ed_hybrid(im.copy(), pal4, 1.0, 0.2, True)), 4)
+            o, ed_host.ed_hybrid_fast(im.copy(), pal4, 1.0, 0.2, True)), 4)
         o = wf.ed_perceptual_wavefront(im.copy(), pal4)
         fid["perceptual"] = round(identity_fraction(
-            o, ed_host.ed_perceptual(im.copy(), pal4)), 4)
+            o, ed_host.ed_perceptual_fast(im.copy(), pal4)), 4)
         from dither_pie_tpu.ops.adaptive import variance_map_np
 
         gray = (np.float32(0.299) * im[..., 0] + np.float32(0.587) * im[..., 1]
@@ -727,7 +727,7 @@ def main():
         gate = (variance_map_np(gray, 1) >= 300.0)
         o = wf.ed_adaptive_wavefront(im.copy(), pal4, gate)
         fid["adaptive"] = round(identity_fraction(
-            o, ed_host.ed_adaptive(im.copy(), pal4, gate)), 4)
+            o, ed_host.ed_adaptive_fast(im.copy(), pal4, gate)), 4)
         prng = np.random.RandomState(7)
         p256 = np.unique(prng.randint(0, 256, (600, 3)),
                          axis=0)[:256].astype(np.float32)

@@ -92,11 +92,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ed_riemersma.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, ctypes.c_int64]
     lib.ed_fixed_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, _f32p, c_i, c_i]
     lib.ed_ostromoukhov_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p, c_i]
+    lib.ed_hybrid_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, c_f, c_f, c_i]
+    lib.ed_perceptual_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _f32p]
+    lib.ed_adaptive_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _u8p]
     lib.ed_riemersma_f32.argtypes = [_f32p, c_i, c_i, _f32p, c_i, _i32p,
                                      ctypes.c_int64]
     for fn in ("ed_fixed", "ed_ostromoukhov", "ed_hybrid", "ed_perceptual",
                "ed_adaptive", "ed_riemersma", "ed_fixed_f32",
-               "ed_ostromoukhov_f32", "ed_riemersma_f32"):
+               "ed_ostromoukhov_f32", "ed_hybrid_f32", "ed_perceptual_f32",
+               "ed_adaptive_f32", "ed_riemersma_f32"):
         getattr(lib, fn).restype = None
     return lib
 

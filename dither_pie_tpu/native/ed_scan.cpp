@@ -312,6 +312,51 @@ void ed_hybrid(float* work, int h, int w,
     final_clamp(work, h * w * 3);
 }
 
+// f32 fast-path twin of ed_hybrid (nearest_idx_f32 lookup — the Numba-path
+// semantics the TPU wavefront kernel implements; error arithmetic is
+// identical to the exact engine, so the two agree except on exact half-way
+// palette ties, where f64-vs-f32 candidate ordering legitimately differs).
+void ed_hybrid_f32(float* work, int h, int w,
+                   const float* pal, int p,
+                   float lum_factor, float col_factor,
+                   int clamp_before_lookup) {
+    PalSoA s;
+    pal_soa(pal, p, &s);
+    const float fs[4] = {7.0f / 16.0f, 3.0f / 16.0f, 5.0f / 16.0f, 1.0f / 16.0f};
+    const int fdx[4] = {1, -1, 0, 1};
+    const int fdy[4] = {0, 1, 1, 1};
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+            float* px = work + 3 * (y * w + x);
+            float r = px[0], g = px[1], b = px[2];
+            if (clamp_before_lookup) {
+                r = clampf(r, 0.0f, 255.0f);
+                g = clampf(g, 0.0f, 255.0f);
+                b = clampf(b, 0.0f, 255.0f);
+            }
+            int bi = nearest_idx_f32(&s, r, g, b);
+            float cr = s.r[bi], cg = s.g[bi], cb = s.b[bi];
+            px[0] = cr; px[1] = cg; px[2] = cb;
+            float e0 = r - cr, e1 = g - cg, e2 = b - cb;
+            float lum_err = 0.299f * e0 + 0.587f * e1 + 0.114f * e2;
+            float l0 = 0.299f * lum_err, l1 = 0.587f * lum_err, l2 = 0.114f * lum_err;
+            float f0 = lum_factor * l0 + col_factor * (e0 - l0);
+            float f1 = lum_factor * l1 + col_factor * (e1 - l1);
+            float f2 = lum_factor * l2 + col_factor * (e2 - l2);
+            for (int k = 0; k < 4; ++k) {
+                int nx = x + fdx[k], ny = y + fdy[k];
+                if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                    float* q = work + 3 * (ny * w + nx);
+                    q[0] += f0 * fs[k];
+                    q[1] += f1 * fs[k];
+                    q[2] += f2 * fs[k];
+                }
+            }
+        }
+    }
+    final_clamp(work, h * w * 3);
+}
+
 // ---------------------------------------------------------------------------
 // Perceptual diffusion: FS weights scaled by a precomputed per-pixel
 // sensitivity map (0.5 + 0.5 * lum/255 of the ORIGINAL image). No pre-clamp
@@ -347,6 +392,39 @@ void ed_perceptual(float* work, int h, int w,
     final_clamp(work, h * w * 3);
 }
 
+// f32 fast-path twin of ed_perceptual (see ed_hybrid_f32).
+void ed_perceptual_f32(float* work, int h, int w,
+                       const float* pal, int p,
+                       const float* sens) {
+    PalSoA s;
+    pal_soa(pal, p, &s);
+    const float fs[4] = {7.0f / 16.0f, 3.0f / 16.0f, 5.0f / 16.0f, 1.0f / 16.0f};
+    const int fdx[4] = {1, -1, 0, 1};
+    const int fdy[4] = {0, 1, 1, 1};
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+            float* px = work + 3 * (y * w + x);
+            float r = px[0], g = px[1], b = px[2];
+            int bi = nearest_idx_f32(&s, r, g, b);
+            float cr = s.r[bi], cg = s.g[bi], cb = s.b[bi];
+            px[0] = cr; px[1] = cg; px[2] = cb;
+            float e0 = r - cr, e1 = g - cg, e2 = b - cb;
+            float sv = sens[y * w + x];
+            for (int k = 0; k < 4; ++k) {
+                int nx = x + fdx[k], ny = y + fdy[k];
+                if (nx >= 0 && nx < w && ny >= 0 && ny < h) {
+                    float wq = fs[k] * sv;  // f32 multiply (weak-scalar demotion)
+                    float* q = work + 3 * (ny * w + nx);
+                    q[0] += e0 * wq;
+                    q[1] += e1 * wq;
+                    q[2] += e2 * wq;
+                }
+            }
+        }
+    }
+    final_clamp(work, h * w * 3);
+}
+
 // ---------------------------------------------------------------------------
 // Adaptive-variance diffusion: FS distribution only where gate[y*w+x] != 0.
 // No pre-clamp (pure-Python reference path, dithering_lib.py:998-1015).
@@ -360,6 +438,42 @@ void ed_adaptive(float* work, int h, int w,
             float r = px[0], g = px[1], b = px[2];
             int bi = nearest_idx(pal, p, r, g, b);
             float cr = pal[3 * bi], cg = pal[3 * bi + 1], cb = pal[3 * bi + 2];
+            px[0] = cr; px[1] = cg; px[2] = cb;
+            if (!gate[y * w + x]) continue;
+            float e0 = r - cr, e1 = g - cg, e2 = b - cb;
+            if (x + 1 < w) {
+                float* q = work + 3 * (y * w + x + 1);
+                q[0] += e0 * (7.0f / 16.0f); q[1] += e1 * (7.0f / 16.0f); q[2] += e2 * (7.0f / 16.0f);
+            }
+            if (y + 1 < h && x > 0) {
+                float* q = work + 3 * ((y + 1) * w + x - 1);
+                q[0] += e0 * (3.0f / 16.0f); q[1] += e1 * (3.0f / 16.0f); q[2] += e2 * (3.0f / 16.0f);
+            }
+            if (y + 1 < h) {
+                float* q = work + 3 * ((y + 1) * w + x);
+                q[0] += e0 * (5.0f / 16.0f); q[1] += e1 * (5.0f / 16.0f); q[2] += e2 * (5.0f / 16.0f);
+            }
+            if (y + 1 < h && x + 1 < w) {
+                float* q = work + 3 * ((y + 1) * w + x + 1);
+                q[0] += e0 * (1.0f / 16.0f); q[1] += e1 * (1.0f / 16.0f); q[2] += e2 * (1.0f / 16.0f);
+            }
+        }
+    }
+    final_clamp(work, h * w * 3);
+}
+
+// f32 fast-path twin of ed_adaptive (see ed_hybrid_f32).
+void ed_adaptive_f32(float* work, int h, int w,
+                     const float* pal, int p,
+                     const uint8_t* gate) {
+    PalSoA s;
+    pal_soa(pal, p, &s);
+    for (int y = 0; y < h; ++y) {
+        for (int x = 0; x < w; ++x) {
+            float* px = work + 3 * (y * w + x);
+            float r = px[0], g = px[1], b = px[2];
+            int bi = nearest_idx_f32(&s, r, g, b);
+            float cr = s.r[bi], cg = s.g[bi], cb = s.b[bi];
             px[0] = cr; px[1] = cg; px[2] = cb;
             if (!gate[y * w + x]) continue;
             float e0 = r - cr, e1 = g - cg, e2 = b - cb;

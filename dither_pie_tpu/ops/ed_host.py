@@ -99,6 +99,60 @@ def ed_ostromoukhov_fast(
     return work
 
 
+def ed_hybrid_fast(
+    work: np.ndarray,
+    palette: np.ndarray,
+    lum_factor: float = 1.0,
+    col_factor: float = 0.2,
+    clamp_before_lookup: bool = True,
+) -> np.ndarray:
+    """f32-lookup twin of ed_hybrid (see ed_fixed_fast): the wavefront
+    kernel's exact palette-search semantics — agrees with the exact engine
+    except on exact half-way palette ties."""
+    lib = get_lib()
+    if palette.shape[0] > 256 or lib is None:
+        return ed_hybrid(work, palette, lum_factor, col_factor,
+                         clamp_before_lookup)
+    work = np.ascontiguousarray(work, dtype=np.float32)
+    pal = np.ascontiguousarray(palette, dtype=np.float32)
+    h, w, _ = work.shape
+    lib.ed_hybrid_f32(work, h, w, pal, pal.shape[0], float(lum_factor),
+                      float(col_factor), int(clamp_before_lookup))
+    return work
+
+
+def ed_perceptual_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """f32-lookup twin of ed_perceptual (see ed_hybrid_fast)."""
+    lib = get_lib()
+    if palette.shape[0] > 256 or lib is None:
+        return ed_perceptual(work, palette)
+    work = np.ascontiguousarray(work, dtype=np.float32)
+    pal = np.ascontiguousarray(palette, dtype=np.float32)
+    gray = (np.float32(0.299) * work[:, :, 0]
+            + np.float32(0.587) * work[:, :, 1]
+            + np.float32(0.114) * work[:, :, 2])
+    sens = np.ascontiguousarray(
+        np.float32(0.5) + np.float32(0.5) * (gray / np.float32(255.0)))
+    h, w, _ = work.shape
+    lib.ed_perceptual_f32(work, h, w, pal, pal.shape[0], sens)
+    return work
+
+
+def ed_adaptive_fast(
+    work: np.ndarray, palette: np.ndarray, gate: np.ndarray
+) -> np.ndarray:
+    """f32-lookup twin of ed_adaptive (see ed_hybrid_fast)."""
+    lib = get_lib()
+    if palette.shape[0] > 256 or lib is None:
+        return ed_adaptive(work, palette, gate)
+    work = np.ascontiguousarray(work, dtype=np.float32)
+    pal = np.ascontiguousarray(palette, dtype=np.float32)
+    gate_u8 = np.ascontiguousarray(gate.astype(np.uint8))
+    h, w, _ = work.shape
+    lib.ed_adaptive_f32(work, h, w, pal, pal.shape[0], gate_u8)
+    return work
+
+
 def ed_riemersma_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """SIMD f32 fast path for the Hilbert-curve scan (see ed_fixed_fast)."""
     if palette.shape[0] > 256:

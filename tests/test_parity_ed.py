@@ -151,6 +151,31 @@ def test_fast_f32_paths_match_exact_perceptually(rand_image):
         assert_perceptually_matched(fast, exact, min_identical=0.95)
 
 
+def test_fast_f32_aux_mode_twins_match_exact_perceptually(rand_image):
+    """The hybrid/perceptual/adaptive f32-lookup twins (the wavefront
+    kernel's golden gates) must stay perceptually identical to the exact
+    f64-ordering engines — near-tie flips only."""
+    from dither_pie_tpu.core.fidelity import assert_perceptually_matched
+    from dither_pie_tpu.ops import ed_host
+    from dither_pie_tpu.ops.adaptive import variance_map_np
+
+    img = rand_image.astype(np.float32)
+    pal = np.asarray([(0, 0, 0), (255, 255, 255), (255, 0, 0), (0, 0, 255)],
+                     np.float32)
+    exact = ed_host.ed_hybrid(img.copy(), pal, 1.0, 0.2, True)
+    fast = ed_host.ed_hybrid_fast(img.copy(), pal, 1.0, 0.2, True)
+    assert_perceptually_matched(fast, exact, min_identical=0.95)
+    exact = ed_host.ed_perceptual(img.copy(), pal)
+    fast = ed_host.ed_perceptual_fast(img.copy(), pal)
+    assert_perceptually_matched(fast, exact, min_identical=0.95)
+    gray = (np.float32(0.299) * img[..., 0] + np.float32(0.587) * img[..., 1]
+            + np.float32(0.114) * img[..., 2])
+    gate = variance_map_np(gray, 1) >= 300.0
+    exact = ed_host.ed_adaptive(img.copy(), pal, gate)
+    fast = ed_host.ed_adaptive_fast(img.copy(), pal, gate)
+    assert_perceptually_matched(fast, exact, min_identical=0.95)
+
+
 def test_fast_f32_large_palette_falls_back(rand_image):
     """>256-color palettes route to the exact engine (identical output)."""
     from dither_pie_tpu.ops import ed_host

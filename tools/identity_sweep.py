@@ -112,11 +112,11 @@ def main():
             if not p1080:
                 out = wf.ed_batch_wavefront(imgs.copy(), pal8, "hybrid")
                 check(f"{tag} {h}p/hybrid", out[3],
-                      ed_host.ed_hybrid(imgs[3].copy(), pal8, 1.0, 0.2,
-                                        True))
+                      ed_host.ed_hybrid_fast(imgs[3].copy(), pal8, 1.0, 0.2,
+                                             True))
                 out = wf.ed_batch_wavefront(imgs.copy(), pal8, "perceptual")
                 check(f"{tag} {h}p/perceptual", out[3],
-                      ed_host.ed_perceptual(imgs[3].copy(), pal8))
+                      ed_host.ed_perceptual_fast(imgs[3].copy(), pal8))
 
             if not p1080:
                 # Adaptive-variance: the gate is computed exactly as the
@@ -130,8 +130,8 @@ def main():
                 out = wf.ed_batch_wavefront(imgs.copy(), pal8, "adaptive",
                                             aux=gates)
                 check(f"{tag} {h}p/adaptive", out[3],
-                      ed_host.ed_adaptive(imgs[3].copy(), pal8,
-                                          gates[3] > 0.5))
+                      ed_host.ed_adaptive_fast(imgs[3].copy(), pal8,
+                                               gates[3] > 0.5))
 
             # Large palettes exercise the packed lane-search kernel (the
             # round-2 v1 fallback): 256 colors, fs + ostromoukhov. Golden
@@ -192,8 +192,8 @@ def main():
             out = wf.ed_batch_wavefront(planes.copy(), pal8, "fixed",
                                         "floyd_steinberg", planar=True)
             check(f"{tag} {h}p/fs-planar", out.transpose(1, 2, 3, 0)[3],
-                  ed_host.ed_fixed(imgs[3].copy(), pal8, "floyd_steinberg",
-                                   False))
+                  ed_host.ed_fixed_fast(imgs[3].copy(), pal8,
+                                        "floyd_steinberg", False))
             if not p1080:
                 out = wf.ed_batch_wavefront(planes.copy(), pal256,
                                             "ostromoukhov", planar=True)
