@@ -652,9 +652,12 @@ class HybridDitherStrategy(BaseDitherStrategy):
             return wf.ed_batch_wavefront(np.asarray(images), pal, "hybrid",
                                          lum_factor=self.lum_factor,
                                          col_factor=self.col_factor)
+        # Video batches: SIMD f32 fast twin (reference Numba semantics),
+        # threaded across frames — same convention as the fixed/ostro paths.
         return _threaded_frames(
-            lambda im: _ed_host.ed_hybrid(im.astype(np.float32).copy(), pal,
-                                          self.lum_factor, self.col_factor),
+            lambda im: _ed_host.ed_hybrid_fast(im.astype(np.float32).copy(),
+                                               pal, self.lum_factor,
+                                               self.col_factor),
             list(images), images)
 
     def dither_batch_planar(self, planes, palette_arr):
@@ -695,8 +698,10 @@ class PerceptualDitherStrategy(BaseDitherStrategy):
         wf = _wavefront_or_none()
         if wf is not None:
             return wf.ed_batch_wavefront(np.asarray(images), pal, "perceptual")
+        # Video batches: SIMD f32 fast twin, threaded (see HybridDither).
         return _threaded_frames(
-            lambda im: _ed_host.ed_perceptual(im.astype(np.float32).copy(), pal),
+            lambda im: _ed_host.ed_perceptual_fast(
+                im.astype(np.float32).copy(), pal),
             list(images), images)
 
     def dither_batch_planar(self, planes, palette_arr):
@@ -769,8 +774,10 @@ class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
         if wf is not None:
             return wf.ed_batch_wavefront(np.asarray(images), pal, "adaptive",
                                          aux=gates)
+        # Video batches: SIMD f32 fast twin, threaded (see HybridDither).
         return _threaded_frames(
-            lambda t: _ed_host.ed_adaptive(t[0].astype(np.float32).copy(), pal, t[1]),
+            lambda t: _ed_host.ed_adaptive_fast(
+                t[0].astype(np.float32).copy(), pal, t[1]),
             list(zip(images, gates)), images)
 
     def dither_batch_planar(self, planes, palette_arr):
