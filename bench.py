@@ -53,6 +53,68 @@ def synth_image(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+# Round-over-round regression ledger (VERDICT r03 item 7): headline metrics
+# appended to a committed JSONL per bench run; each run prints deltas vs the
+# previous entry so a silent slide (e.g. the unexplained r02->r03 Bayer
+# 1.82 -> 1.57 GPix/s move) is visible the moment it happens.
+LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_ledger.jsonl")
+LEDGER_KEYS = (
+    "fs_1080p_kmeans32_fps_e2e_device",
+    "fs_1080p_pal256_fps_e2e_device",
+    "fs_1080p_planar_fps_e2e_device",
+    "bayer8x8_1080p_gpix_per_s",
+    "bluenoise_100x1080p_gpix_s",
+    "ign_100x1080p_gpix_s",
+    "stucki_720p_device_fps",
+    "neural_forward_bf16_fps",
+)
+
+
+def update_ledger(details, label=None):
+    """Append headline metrics to the ledger; print deltas vs the last entry.
+
+    Returns {key: pct_change} for moves >= 10% (signed), for bench details.
+    """
+    entry = {"label": label or time.strftime("%Y-%m-%d %H:%M:%S"),
+             "platform": details.get("platform")}
+    for k in LEDGER_KEYS:
+        if isinstance(details.get(k), (int, float)):
+            entry[k] = details[k]
+    prev = None
+    try:
+        with open(LEDGER_PATH) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                cand = json.loads(line)
+                # Compare like-for-like: only prior runs on the same platform.
+                if cand.get("platform") == entry["platform"]:
+                    prev = cand
+    except FileNotFoundError:
+        pass
+    big_moves = {}
+    if prev:
+        for k in LEDGER_KEYS:
+            a, b = prev.get(k), entry.get(k)
+            if isinstance(a, (int, float)) and isinstance(b, (int, float)) and a:
+                pct = 100.0 * (b - a) / a
+                arrow = "^" if pct >= 0 else "v"
+                flag = "  <-- >10% move" if abs(pct) >= 10 else ""
+                log(f"ledger {k}: {a} -> {b} ({arrow}{abs(pct):.1f}%)"
+                    f" vs '{prev.get('label')}'{flag}")
+                if abs(pct) >= 10:
+                    big_moves[k] = round(pct, 1)
+    if len(entry) > 2:  # only persist runs that actually measured something
+        try:
+            with open(LEDGER_PATH, "a") as f:
+                f.write(json.dumps(entry) + "\n")
+        except OSError as e:
+            log(f"ledger append failed: {e!r}")
+    return big_moves
+
+
 def _accelerator_alive(timeout=240):
     """Probe backend init in a SUBPROCESS: a wedged accelerator relay can
     HANG jax.devices() indefinitely (observed: 5h outage where every
@@ -749,6 +811,13 @@ def main():
 
     if errors:
         details["errors"] = errors
+
+    try:
+        moves = update_ledger(details)
+        if moves:
+            details["ledger_moves_gt10pct"] = moves
+    except Exception as e:
+        log(f"ledger update failed: {e!r}")
 
     result = {
         "metric": "1080p Floyd-Steinberg dither throughput "

@@ -11,13 +11,47 @@ palette.json name, and paths resolved relative to the config file.
 from __future__ import annotations
 
 import json
+import logging
 from pathlib import Path
 from typing import Any, Dict
+
+logger = logging.getLogger(__name__)
 
 from dither_pie_tpu.api.ditherer import DitherMode, PaletteSource, PixelizeMethod
 from dither_pie_tpu.utils import IMAGE_EXTENSIONS, VIDEO_EXTENSIONS, PaletteManager
 
 VALID_MODES = ["image", "video", "folder"]
+
+# Schema surface used for unknown-section/key warnings. The reference
+# silently ignores unknown sections (/root/reference/dither_cli.py:191-341
+# validates known sections only) — a misspelled "dither" section there falls
+# back to 16-color bayer defaults with zero feedback. We beat that with one
+# aggregated warning line (still non-fatal: forward-compat configs keep
+# loading).
+KNOWN_TOP_LEVEL_KEYS = {
+    "input", "output", "mode",
+    "pixelization", "dithering", "palette", "final_resize",
+}
+KNOWN_SECTION_KEYS = {
+    "pixelization": {"enabled", "method", "max_size"},
+    "dithering": {"enabled", "mode", "parameters"},
+    "palette": {"source", "num_colors", "use_gamma"},
+    "final_resize": {"enabled", "multiplier"},
+}
+
+
+def _warn_unknown_keys(config: Dict[str, Any]) -> None:
+    """Emit ONE aggregated warning for unrecognized sections/keys (non-fatal)."""
+    unknown = [f"'{k}'" for k in config if k not in KNOWN_TOP_LEVEL_KEYS]
+    for section, known in KNOWN_SECTION_KEYS.items():
+        sec = config.get(section)
+        if isinstance(sec, dict):
+            unknown.extend(f"'{section}.{k}'" for k in sec if k not in known)
+    if unknown:
+        logger.warning(
+            "Ignoring unknown config %s: %s (known sections: pixelization, "
+            "dithering, palette, final_resize — check for typos)",
+            "entry" if len(unknown) == 1 else "entries", ", ".join(sorted(unknown)))
 VALID_PIXELIZATION_METHODS = [m.value for m in PixelizeMethod]
 VALID_PALETTE_SOURCES = [s.value for s in PaletteSource]
 VALID_DITHER_MODES = [m.value for m in DitherMode]
@@ -31,6 +65,7 @@ def validate_config(config: Dict[str, Any], config_path: Path,
                     skip_input_check: bool = False) -> Dict[str, Any]:
     """Validate + normalize a raw config dict (aggregated error reporting)."""
     errors = []
+    _warn_unknown_keys(config)
 
     if "input" not in config:
         errors.append("Missing required field: 'input'")

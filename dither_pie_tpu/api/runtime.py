@@ -15,12 +15,72 @@ from __future__ import annotations
 
 import functools
 import os
+import subprocess
+import sys
+
+
+def _accelerator_responsive(timeout: float) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    A wedged remote-accelerator transport can HANG ``jax.devices()``
+    indefinitely rather than raising (observed on this harness's relay:
+    multi-hour outages where every probe blocked), and backend config is
+    immutable after the first in-process touch — so the liveness check must
+    happen out-of-process, BEFORE we commit this process to the accelerator.
+
+    The verdict is cached on disk (OK: 10 min, wedged: 60 s) so batch
+    workflows spawning many CLI processes pay the probe once, and recovery
+    from an outage is noticed within a minute.
+    """
+    import hashlib
+    import tempfile
+    import time
+
+    pool = os.environ.get("PALLAS_AXON_POOL_IPS", "local")
+    cache = os.path.join(
+        tempfile.gettempdir(),
+        "dither_pie_tpu_accel_probe_"
+        + hashlib.sha1(pool.encode()).hexdigest()[:8])
+    try:
+        with open(cache) as f:
+            ts, verdict = f.read().split()
+        age = time.time() - float(ts)
+        if verdict == "ok" and age < 600:
+            return True
+        if verdict == "wedged" and age < 60:
+            return False
+    except Exception:
+        pass
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('BACKEND_OK')"],
+            timeout=timeout, capture_output=True, text=True)
+        ok = "BACKEND_OK" in r.stdout
+    except Exception:
+        ok = False
+    try:
+        with open(cache, "w") as f:
+            f.write(f"{time.time()} {'ok' if ok else 'wedged'}")
+    except OSError:
+        pass
+    return ok
+
+
+def _jax_backend_started() -> bool:
+    """True once any XLA backend has been initialized in this process
+    (at that point the platform choice is already committed)."""
+    xb = sys.modules.get("jax._src.xla_bridge")
+    return bool(xb is not None and getattr(xb, "_backends", None))
 
 
 @functools.lru_cache(maxsize=1)
 def jax_platform() -> str:
     """Resolved JAX backend, with CPU fallback when the accelerator plugin
-    failed to register (e.g. the chip is held by another process)."""
+    failed to register (e.g. the chip is held by another process) or its
+    transport is unresponsive (probed out-of-process — see
+    ``_accelerator_responsive``; tune/disable with
+    ``DITHER_PIE_TPU_ACCEL_PROBE_TIMEOUT``, 0 disables the probe)."""
     import jax
 
     # Every entry point benefits from the persistent executable cache
@@ -28,6 +88,26 @@ def jax_platform() -> str:
     from dither_pie_tpu.api.cache import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # Liveness-probe the accelerator before first in-process backend touch,
+    # but only when (a) a remote-transport accelerator is configured (the
+    # hang mode is a remote-transport failure; local PJRT plugins fail fast),
+    # (b) the backend hasn't already been committed, and (c) nothing forced
+    # a platform besides the accelerator itself.
+    try:
+        probe_timeout = float(
+            os.environ.get("DITHER_PIE_TPU_ACCEL_PROBE_TIMEOUT", "240"))
+    except ValueError:
+        probe_timeout = 240.0
+    remote_accel = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    if (probe_timeout > 0 and remote_accel and not _jax_backend_started()
+            and jax.config.jax_platforms != "cpu"):
+        if not _accelerator_responsive(probe_timeout):
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass
+
     try:
         jax.devices()
         return jax.default_backend()

@@ -74,6 +74,34 @@ class TestConfig:
         cfg = load_config(p)
         assert cfg["palette"]["source"] == "gb_dmg_palette"
 
+    def test_unknown_section_warns(self, tmp_path, tmp_image, caplog):
+        # Beats the reference's silent fallback (dither_cli.py:191-341): a
+        # misspelled "dither" section must produce a visible warning.
+        p = _write_config(tmp_path, {
+            "input": "in.png", "output": "o.png",
+            "dither": {"mode": "bayer"},          # typo for "dithering"
+            "palette": {"source": "median_cut", "n_colors": 8},  # typo key
+        })
+        import logging
+        with caplog.at_level(logging.WARNING, logger="dither_pie_tpu.api.config"):
+            cfg = load_config(p)
+        msg = " ".join(r.message for r in caplog.records)
+        assert "'dither'" in msg and "'palette.n_colors'" in msg
+        # Still non-fatal: defaults applied as before.
+        assert cfg["dithering"]["mode"] == "bayer"
+
+    def test_known_config_no_warning(self, tmp_path, tmp_image, caplog):
+        p = _write_config(tmp_path, {
+            "input": "in.png", "output": "o.png",
+            "dithering": {"enabled": True, "mode": "bayer", "parameters": {}},
+            "palette": {"source": "median_cut", "num_colors": 8,
+                        "use_gamma": False},
+        })
+        import logging
+        with caplog.at_level(logging.WARNING, logger="dither_pie_tpu.api.config"):
+            load_config(p)
+        assert not caplog.records
+
     def test_detect_mode(self, tmp_path, tmp_image):
         assert detect_mode(tmp_image) == "image"
         assert detect_mode(tmp_path) == "folder"
