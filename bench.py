@@ -293,7 +293,11 @@ def main():
                 return acc
             return lambda: f(pal32_dev, *fs_bufs[:k])
 
-        per2 = timed_pair(fs_many(1), fs_many(3), 3)
+        # rounds=5: the r03 driver capture recorded planar at 844 fps vs two
+        # same-day 1030+ readings — single-window medians through the relay
+        # can be that noisy, and config 2/2p feed the planar-vs-NHWC
+        # auto-select decision, so buy tighter medians here.
+        per2 = timed_pair(fs_many(1), fs_many(3), 3, rounds=5)
         fs_fps = B_B / per2
         details["fs_1080p_kmeans32_fps_e2e_device"] = round(fs_fps, 1)
         log(f"2: FS 1080p kmeans-32 full path {per2*1e3:.1f} ms/batch{B_B} "
@@ -395,8 +399,10 @@ def main():
                 return acc
             return lambda: f(pal32_dev, *pl_bufs[:k])
 
-        per2p = timed_pair(fsp_many(1), fsp_many(3), 3)
+        per2p = timed_pair(fsp_many(1), fsp_many(3), 3, rounds=5)
         details["fs_1080p_planar_fps_e2e_device"] = round(B_B / per2p, 1)
+        if fs_fps:
+            details["planar_vs_nhwc_ratio"] = round((B_B / per2p) / fs_fps, 3)
         log(f"2p: FS 1080p planar path {per2p*1e3:.1f} ms/batch{B_B} "
             f"-> {B_B / per2p:.0f} fps "
             f"(vs {fs_fps:.0f} NHWC)")
@@ -700,6 +706,28 @@ def main():
         details["neural_hybrid_note"] = ("random weights (checkpoints not in "
                                          "image); batched device forward")
         log(f"5: neural+hybrid 1080p {n5/wall:.2f} fps wall (batch {n5})")
+
+        # ds4 on/off differential: the default path ships only the /4 block
+        # samples (the output is 4x4-block-constant; 16x less D2H — the
+        # bit-identity is tested in tests/test_neural.py). The wall number
+        # above ran with ds4 ON (the default); measure OFF for the diff.
+        os.environ["DITHER_PIE_TPU_NEURAL_DS4"] = "0"
+        try:
+            wall_full = float("inf")
+            for _rep in range(2):
+                t0 = time.time()
+                outs = list(process_frames(iter(src_frames), d5,
+                                           pixelize_func=("neural", max_size),
+                                           batch_size=n5, prefetch=False))
+                wall_full = min(wall_full, time.time() - t0)
+                assert len(outs) == n5
+        finally:
+            os.environ.pop("DITHER_PIE_TPU_NEURAL_DS4", None)
+        details["neural_hybrid_1080p_fps_wall_ds4_off"] = round(
+            n5 / wall_full, 2)
+        details["neural_ds4_speedup"] = round(wall_full / wall, 2)
+        log(f"5d: ds4 off {n5/wall_full:.2f} fps wall "
+            f"(ds4 transfer buys {wall_full/wall:.2f}x)")
 
         # Device-sustained batched forward (the wall number above is
         # dominated by tunnel transfer + host PIL resizes).

@@ -57,6 +57,20 @@ def deprocess_u8(img: np.ndarray) -> Image.Image:
     return pil
 
 
+def downsample4_indices(n: int) -> slice:
+    """PIL NEAREST ``resize(w//4)`` samples source pixel floor((i+0.5)*4) =
+    4i+2 — i.e. ``arr[2::4]`` along each axis (H, W are multiples of 4 here:
+    process() center-crops to %4)."""
+    return slice(2, n, 4)
+
+
+def upsample4_u8(ds: np.ndarray) -> np.ndarray:
+    """(h, w, 3) u8 -> (4h, 4w, 3): PIL NEAREST x4 upsample maps dest pixel
+    i to source floor((i+0.5)/4) = i//4, which is exactly ``np.repeat`` x4
+    on both axes (bit-identity tested vs PIL in tests/test_neural.py)."""
+    return np.repeat(np.repeat(ds, 4, axis=0), 4, axis=1)
+
+
 def resize_image_nearest(img: Image.Image, target_size: int) -> Image.Image:
     """Smallest side -> target_size, NEAREST (reference resize_image)."""
     width, height = img.size
@@ -110,6 +124,24 @@ def _forward_u8_adain(gen_params, alias_params, in_t, adain,
         c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
         precision=precision)
     return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _forward_u8_ds4_adain(gen_params, alias_params, in_t, adain,
+                          precision: str = "float32"):
+    """forward_u8_adain + on-device /4 NEAREST sample: the product's final
+    image is 4x4-block-constant by construction (the reference's save() does
+    /4-then-x4 NEAREST, /root/reference/models/pixelization.py:76-83), so
+    only the (H/4, W/4) samples at block position (2, 2) ever reach the
+    output — shipping just those cuts device->host traffic 16x vs the full
+    u8 frame (64x vs f32). The host reconstructs bit-identically with
+    ``upsample4_u8``."""
+    out = aliasnet_forward(
+        alias_params,
+        c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
+        precision=precision)
+    u8 = ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
+    return u8[:, 2::4, 2::4, :]
 
 
 @functools.partial(jax.jit, static_argnames=("precision",))
@@ -182,14 +214,19 @@ class PixelizationModel:
         return np.asarray(out)
 
     def forward_u8(self, in_t: np.ndarray,
-                   precision: Optional[str] = None) -> np.ndarray:
+                   precision: Optional[str] = None,
+                   ds4: bool = False) -> np.ndarray:
         """(B, H, W, 3) in [-1, 1] -> (B, H, W, 3) uint8 (denormalized on
         device; 4x less device->host traffic than forward_array).
         ``precision`` None -> the DITHER_PIE_TPU_NEURAL_PRECISION env
-        setting (default float32 torch-parity)."""
-        out = _forward_u8_adain(self.gen_params, self.alias_params,
-                                jnp.asarray(in_t), self._style(),
-                                precision=precision or _env_precision())
+        setting (default float32 torch-parity).
+        ``ds4``: return the (B, H/4, W/4, 3) block samples instead (16x
+        less transfer; ``upsample4_u8`` reconstructs the full frame
+        bit-identically — see _forward_u8_ds4_adain)."""
+        fwd = _forward_u8_ds4_adain if ds4 else _forward_u8_adain
+        out = fwd(self.gen_params, self.alias_params,
+                  jnp.asarray(in_t), self._style(),
+                  precision=precision or _env_precision())
         return np.asarray(out)
 
     # Parity gate for the bf16 video fast path: bf16 convs with f32
@@ -200,7 +237,8 @@ class PixelizationModel:
     BF16_GATE_MEAN_U8_DELTA = 1.0
     BF16_GATE_BLOCK_MEAN = 2.0
 
-    def _gated_batch_forward(self, stacked: np.ndarray) -> np.ndarray:
+    def _gated_batch_forward(self, stacked: np.ndarray,
+                             ds4: bool = False) -> np.ndarray:
         """Batched-video forward with bf16-by-default behind a parity gate.
 
         On the first batch (unless DITHER_PIE_TPU_NEURAL_PRECISION is set
@@ -208,6 +246,11 @@ class PixelizationModel:
         compare with the core/fidelity.py block-mean metric plus mean
         |u8 delta|, and lock in bf16 (4.5-7x faster on the MXU) only if the
         gate passes — otherwise fall back to f32 parity for the whole video.
+
+        With ``ds4`` the gate compares the /4 block samples — the ONLY
+        pixels that reach the final (4x4-block-constant) output, so per-
+        pixel stats on the samples equal per-block stats on the full frame
+        (block=1 below is the full frame's block=4).
         """
         import os
 
@@ -217,12 +260,13 @@ class PixelizationModel:
             if "DITHER_PIE_TPU_NEURAL_PRECISION" in os.environ:
                 self._video_prec = _env_precision()
             else:
-                f32 = self.forward_u8(stacked, precision="float32")
-                bf16 = self.forward_u8(stacked, precision="bfloat16")
+                f32 = self.forward_u8(stacked, precision="float32", ds4=ds4)
+                bf16 = self.forward_u8(stacked, precision="bfloat16",
+                                       ds4=ds4)
                 mean_delta = float(np.abs(
                     f32.astype(np.int16) - bf16.astype(np.int16)).mean())
                 block_mean = max(
-                    block_mean_error(f32[i], bf16[i], block=4)[0]
+                    block_mean_error(f32[i], bf16[i], block=1 if ds4 else 4)[0]
                     for i in range(f32.shape[0]))
                 if (mean_delta <= self.BF16_GATE_MEAN_U8_DELTA
                         and block_mean <= self.BF16_GATE_BLOCK_MEAN):
@@ -240,7 +284,7 @@ class PixelizationModel:
                     f"delta| {mean_delta:.3f}, block mean {block_mean:.3f})"
                     f"; staying on float32")
                 return f32
-        return self.forward_u8(stacked, precision=self._video_prec)
+        return self.forward_u8(stacked, precision=self._video_prec, ds4=ds4)
 
     def pixelize(self, in_path: str, out_path: str):
         img = Image.open(in_path).convert("RGB")
@@ -265,14 +309,24 @@ class PixelizationModel:
         whose pre-processed shapes differ (can't happen within one video)
         fall back to the per-frame path.
         """
+        import os
+
         pre = [process(resize_image_nearest(im.convert("RGB"), max_size * 4))
                for im in images]
         if len({p.shape for p in pre}) != 1:
             return [self.pixelize_image(im, max_size) for im in images]
-        out = self._gated_batch_forward(np.concatenate(pre, axis=0))
+        # ds4: transfer only the /4 block samples (the output is 4x4-block-
+        # constant by construction) and rebuild bit-identically on host —
+        # 16x less D2H traffic than full u8 frames. Opt out with
+        # DITHER_PIE_TPU_NEURAL_DS4=0 (bit-identity tested either way).
+        ds4 = os.environ.get("DITHER_PIE_TPU_NEURAL_DS4", "1") != "0"
+        out = self._gated_batch_forward(np.concatenate(pre, axis=0), ds4=ds4)
         results = []
         for i in range(len(images)):
-            r = deprocess_u8(out[i])
+            if ds4:
+                r = Image.fromarray(upsample4_u8(out[i]))
+            else:
+                r = deprocess_u8(out[i])
             tw, th = compute_even_dimensions(r.size[0], r.size[1], max_size)
             results.append(r.resize((tw, th), Image.Resampling.NEAREST))
         return results

@@ -168,6 +168,54 @@ def test_full_pipeline_shapes(reference_models, inputs):
     assert np.all(out >= -1.001) and np.all(out <= 1.001)
 
 
+def test_ds4_sampling_matches_pil_bitwise():
+    """The on-device /4 slice (arr[2::4, 2::4]) and the host np.repeat x4
+    upsample must reproduce PIL's NEAREST /4-then-x4 deprocess bit-for-bit
+    — this is the contract that lets the video path ship 16x less D2H."""
+    from PIL import Image
+
+    from dither_pie_tpu.models.inference import deprocess_u8, upsample4_u8
+
+    rng = np.random.RandomState(11)
+    for h, w in ((64, 96), (52, 40), (128, 72)):
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(deprocess_u8(img))  # PIL /4 then x4 NEAREST
+        ds = img[2::4, 2::4, :]
+        # /4 slice matches PIL's downsample choice:
+        pil_ds = np.asarray(Image.fromarray(img).resize(
+            (w // 4, h // 4), Image.Resampling.NEAREST))
+        np.testing.assert_array_equal(ds, pil_ds)
+        # host x4 rebuild matches PIL's upsample:
+        np.testing.assert_array_equal(upsample4_u8(ds), ref)
+
+
+def test_ds4_batch_path_bit_identical(monkeypatch):
+    """pixelize_images_batch with the ds4 transfer (default) must be
+    bit-identical to the full-frame transfer path (DITHER_PIE_TPU_NEURAL_DS4
+    =0) — same weights, same frames."""
+    from PIL import Image
+
+    from dither_pie_tpu.models.inference import PixelizationModel
+
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_PRECISION", "float32")
+    rng = np.random.RandomState(3)
+    frames = [Image.fromarray(rng.randint(0, 256, (40, 56, 3), dtype=np.uint8))
+              for _ in range(3)]
+
+    m = PixelizationModel()
+    m.load_random(0)
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_DS4", "0")
+    full = m.pixelize_images_batch(frames, 16)
+
+    m2 = PixelizationModel()
+    m2.load_random(0)
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_DS4", "1")
+    ds4 = m2.pixelize_images_batch(frames, 16)
+
+    for a, b in zip(full, ds4):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bf16_video_gate_selects_and_falls_back(monkeypatch):
     """The batched-video forward defaults to bf16 behind a first-batch
     parity gate and falls back to f32 when the gate fails; an explicit
@@ -189,8 +237,8 @@ def test_bf16_video_gate_selects_and_falls_back(monkeypatch):
     m2.load_random(0)
     real_forward = m2.forward_u8
 
-    def skewed(stacked, precision=None):
-        out = real_forward(stacked, precision=precision)
+    def skewed(stacked, precision=None, **kw):
+        out = real_forward(stacked, precision=precision, **kw)
         if precision == "bfloat16":
             out = np.clip(out.astype(np.int16) + 40, 0, 255).astype(np.uint8)
         return out

@@ -196,9 +196,9 @@ class TestVideoFrames:
         calls = []
         orig = model.forward_u8
 
-        def counting_forward(in_t, precision=None):
+        def counting_forward(in_t, precision=None, **kw):
             calls.append(in_t.shape[0])
-            return orig(in_t, precision=precision)
+            return orig(in_t, precision=precision, **kw)
 
         monkeypatch.setattr(model, "forward_u8", counting_forward)
 
