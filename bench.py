@@ -337,6 +337,34 @@ def main():
         log(f"2b: FS 1080p 256-color palette {per2b*1e3:.1f} ms/batch{B_B} "
             f"-> {B_B / per2b:.0f} fps")
 
+        # P=512 / P=1024 rows (identity coverage for these exists in
+        # tools/identity_sweep.py; the packed kernel serves up to 1024):
+        # the lane search is O(P), so these document the scaling honestly.
+        for pn in (512, 1024):
+            paln = np.unique(prng.randint(0, 256, (pn * 3, 3)),
+                             axis=0)[:pn].astype(np.float32)
+            paln_dev = jnp.asarray(paln)
+            fnn = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
+                                         int(paln.shape[0]), B_B,
+                                         interpret=cpu)
+
+            def fsn_many(k, fnn=fnn, paln_dev=paln_dev):
+                @jax.jit
+                def f(pal, *frames_list):
+                    acc = jnp.float32(0)
+                    for i in range(k):
+                        out = fnn(frames_list[i],
+                                  pal.at[0, 0].set(acc + jnp.float32(i % 3)))
+                        acc = (jnp.sum(out.astype(jnp.int32))
+                               .astype(jnp.float32) * jnp.float32(1e-12))
+                    return acc
+                return lambda: f(paln_dev, *fs_bufs[:k])
+
+            pern = timed_pair(fsn_many(1), fsn_many(3), 3)
+            details[f"fs_1080p_pal{pn}_fps_e2e_device"] = round(B_B / pern, 1)
+            log(f"2b-{pn}: FS 1080p {pn}-color palette "
+                f"{pern*1e3:.1f} ms/batch{B_B} -> {B_B / pern:.0f} fps")
+
         # 2b-mxu: the MXU-scored dense search (opt-in knob). Same chain
         # harness; also record the pick-flip fraction vs the exact kernel
         # (device-side compare, one scalar off the chip).
@@ -790,10 +818,15 @@ def main():
         # Every fixed variant (all 8), the per-pixel-weight/aux modes, and
         # the 256-color lane-search path. tools/identity_sweep.py measures
         # the same cells at 480p-1080p scale; this is the per-run gate.
-        # Golden = the f32-semantics engine (the reference's Numba-path
-        # arithmetic — the kernel's bit-for-bit contract; the f64-exact
-        # engine legitimately flips exact half-way palette ties, which u8
-        # content can reach — see tools/identity_sweep.py).
+        # Golden = the f32-lookup engine, the kernel's bit-for-bit
+        # contract (the same semantics family as the reference's Numba
+        # paths where those exist — fixed + ostromoukhov; the reference's
+        # Numba hybrid keeps f64 intermediates and perceptual/adaptive
+        # have no Numba path, so for those the f32 contract is this
+        # framework's choice, bounded by the >=0.95 perceptual parity
+        # tests). The f64-exact engine legitimately flips exact half-way
+        # palette ties, which u8 content can reach — see
+        # tools/identity_sweep.py.
         for variant in ("floyd_steinberg", "jjn", "stucki", "burkes",
                         "atkinson", "sierra", "sierra_two_row",
                         "sierra_lite"):

@@ -17,6 +17,7 @@ TPU-native compute:
 from __future__ import annotations
 
 import functools
+import os
 from enum import Enum
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -811,15 +812,34 @@ class AdaptiveVarianceDitherStrategy(BaseDitherStrategy):
 
 class RiemersmaDitherStrategy(BaseDitherStrategy):
     """Hilbert-curve error diffusion — a 1-D dependency chain, so it runs on
-    the native engine (no parameters, matching the reference)."""
+    the native engine (no parameters, matching the reference).
+
+    Host-vs-device is a MEASURED decision, not an assumption: an on-device
+    ``lax.scan`` over the curve exists (ops/riemersma_scan.py, bit-identical
+    to the C++ f32 twin on hardware) but loses 8-20x to the host engine at
+    every shape on a v5e (240p 10.3 vs 106.5 fps, 480p 2.6 vs 22.8, 1080p
+    0.19 vs 4.1 per core — tools/riemersma_ab.py, 2026-08-19): the scan's
+    per-pixel step is latency-bound tiny-tensor work the VPU can't fill.
+    ``DITHER_PIE_TPU_RIEMERSMA=scan`` forces the device path for
+    re-measurement on future hardware/toolchains."""
 
     def dither(self, pixels, palette_arr, image_size):
         img, pal = _prep(pixels, palette_arr, image_size)
+        if os.environ.get("DITHER_PIE_TPU_RIEMERSMA") == "scan":
+            from dither_pie_tpu.ops.riemersma_scan import riemersma_scan_batch
+
+            out = riemersma_scan_batch(img[None], pal)[0]
+            return np.asarray(out, dtype=np.float32).reshape(-1, 3)
         out = _ed_host.ed_riemersma(img, pal)
         return np.asarray(out, dtype=np.float32).reshape(-1, 3)
 
     def dither_batch(self, images, palette_arr):
         pal = _palette.as_palette_array([tuple(c) for c in np.asarray(palette_arr)])
+        if os.environ.get("DITHER_PIE_TPU_RIEMERSMA") == "scan":
+            from dither_pie_tpu.ops.riemersma_scan import riemersma_scan_batch
+
+            return riemersma_scan_batch(
+                np.asarray(images, np.float32), pal)
         # Video batches: SIMD f32 fast path, threaded across frames.
         return _threaded_frames(
             lambda im: _ed_host.ed_riemersma_fast(

@@ -466,6 +466,25 @@ def _pad_palette(pal: np.ndarray, pp: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _bitrev_perm(pp: int) -> np.ndarray:
+    """Bit-reversal permutation for a pow2 ``pp``: stored row r holds the
+    original palette entry bitrev(r). The packed kernel's dense-palette
+    tournament relies on this layout for exact first-wins tie-breaking
+    (see _build_kernel_packed)."""
+    nbits = pp.bit_length() - 1
+    perm = np.zeros(pp, np.int64)
+    for bit in range(nbits):
+        perm |= ((np.arange(pp) >> bit) & 1) << (nbits - 1 - bit)
+    return perm
+
+
+def _tourney_layout(pp: int, mxu_dense: bool) -> bool:
+    """True when the packed kernel expects the bit-reversed palette (must
+    match the `tourney` condition inside _build_kernel_packed)."""
+    return pp > 64 and (pp & (pp - 1)) == 0 and not mxu_dense
+
+
 def _scan_params(mode: str, variant: str):
     if mode == "fixed":
         return _skew_params(get_kernel(variant)["weights"])
@@ -774,7 +793,12 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
                                           keepdims=True),
                      jnp.zeros((pp, 4), jnp.float32)], axis=1)
             elif pp > 64:
-                pal_dev = cols  # lane-form search takes (pp, 3) columns
+                # Lane-form search takes (pp, 3) columns — bit-reverse
+                # permuted for the tournament layout (pow2 pp).
+                if _tourney_layout(pp, mxu_dense):
+                    pal_dev = cols[jnp.asarray(_bitrev_perm(pp))]
+                else:
+                    pal_dev = cols
             else:
                 # Running-min form takes (3*nb, pp) channel-major rows.
                 pal_dev = jnp.repeat(cols.T, nb, axis=0)
@@ -952,6 +976,32 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
             # the one-hot weighted sum.
             if pp > 64:
                 p_iota = jax.lax.broadcasted_iota(jnp.int32, (pp, lf), 0)
+                # Exact dense path: a pairwise first-wins TOURNAMENT over
+                # (d2, payload) replaces the min/where/min argmin + the
+                # post-hoc halving-tree color extraction — one fused
+                # reduction (~3*pp select rows instead of ~5.5*pp). The
+                # palette operand arrives BIT-REVERSE permuted (stored row
+                # r holds original entry bitrev(r)), which makes the
+                # (r, r+size/2) slice pairing compare CONTIGUOUS original-
+                # index ranges at every level, so "ties keep the low half"
+                # is exactly the golden engine's first-wins-by-original-
+                # index rule (proved by the range argument; exercised with
+                # engineered duplicate-color ties in tests/test_wavefront).
+                tourney = dense_tree and not use_mxu
+                if tourney:
+                    nbits = pp.bit_length() - 1
+                    r_iota = jax.lax.broadcasted_iota(jnp.int32, (pp, 1), 0)
+                    orig_col = jnp.zeros_like(r_iota)
+                    for bit in range(nbits):
+                        orig_col = orig_col | (
+                            ((r_iota >> bit) & 1) << (nbits - 1 - bit))
+                    if pp <= 256:
+                        # One payload carries color AND original index:
+                        # (packed24 << 8) | orig. The sign bit may be set
+                        # (r >= 128); only shifts/masks touch it.
+                        pal_pay = (pal_packed << 8) | orig_col
+                    else:
+                        pal_pay = pal_packed
                 idx_rows = []
                 packed_rows = []
                 chosen_rows = [[], [], []]
@@ -975,12 +1025,52 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                                        axis=0,
                                        keepdims=True).astype(jnp.int32)
                     else:
-                        diff3 = jnp.concatenate(
-                            [pal_ref[:, c:c + 1]
-                             - cur[c * nb + b:c * nb + b + 1]
-                             for c in range(3)], axis=0)  # (3*pp, lf)
-                        sq = diff3 * diff3
-                        d2 = (sq[0:pp] + sq[pp:2 * pp]) + sq[2 * pp:3 * pp]
+                        # Per-channel squared diffs, summed in the golden
+                        # order (r+g)+b. Value-identical to the former
+                        # (3*pp, lf) concat-then-slice form but without the
+                        # concat materialization; Mosaic on this toolchain
+                        # does not FMA-contract mul-into-add (verified
+                        # bitwise on hardware — tools/gather_probe.py notes,
+                        # and the at-scale gate is tools/identity_sweep.py).
+                        sqs = []
+                        for c in range(3):
+                            dc = (pal_ref[:, c:c + 1]
+                                  - cur[c * nb + b:c * nb + b + 1])
+                            sqs.append(dc * dc)  # (pp, lf)
+                        d2 = (sqs[0] + sqs[1]) + sqs[2]
+                        if tourney:
+                            val = d2
+                            pay = jnp.broadcast_to(pal_pay, (pp, lf))
+                            pay2 = (jnp.broadcast_to(orig_col, (pp, lf))
+                                    if emit_idx and pp > 256 else None)
+                            size = pp
+                            while size > 1:
+                                half = size // 2
+                                lt = val[half:size] < val[:half]
+                                val = jnp.where(lt, val[half:size],
+                                                val[:half])
+                                pay = jnp.where(lt, pay[half:size],
+                                                pay[:half])
+                                if pay2 is not None:
+                                    pay2 = jnp.where(lt, pay2[half:size],
+                                                     pay2[:half])
+                                size = half
+                            if pp <= 256:
+                                t24 = (pay >> 8) & 0xFFFFFF
+                                idxb = pay & 255
+                            else:
+                                t24 = pay
+                                idxb = (pay2 if pay2 is not None
+                                        else jnp.zeros((1, lf), jnp.int32))
+                            packed_rows.append(t24)
+                            chosen_rows[0].append(
+                                ((t24 >> 16) & 255).astype(jnp.float32))
+                            chosen_rows[1].append(
+                                ((t24 >> 8) & 255).astype(jnp.float32))
+                            chosen_rows[2].append(
+                                (t24 & 255).astype(jnp.float32))
+                            idx_rows.append(idxb)
+                            continue
                         dmin = jnp.min(d2, axis=0, keepdims=True)
                         idxb = jnp.min(jnp.where(d2 == dmin, p_iota, pp),
                                        axis=0,
@@ -1852,8 +1942,12 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
         pal_dev = jnp.asarray(
             _pad_palette_aug(palette.astype(np.float32), pp))
     elif pp > 64:
-        # Lane-form search takes the palette in (pp, 3) column form.
-        pal_dev = jnp.asarray(_pad_palette(palette.astype(np.float32), pp))
+        # Lane-form search takes the palette in (pp, 3) column form —
+        # bit-reverse permuted for the tournament layout (pow2 pp).
+        padded = _pad_palette(palette.astype(np.float32), pp)
+        if _tourney_layout(pp, mxu_dense):
+            padded = padded[_bitrev_perm(pp)]
+        pal_dev = jnp.asarray(padded)
     else:
         # Running-min form takes (3*nb, pp) channel-major rows.
         pal_dev = jnp.asarray(

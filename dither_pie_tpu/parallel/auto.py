@@ -1,16 +1,18 @@
-"""Opt-in automatic multi-chip data parallelism for batch dithering.
+"""Automatic multi-chip data parallelism for batch dithering.
 
-``DITHER_PIE_TPU_AUTO_MESH=1`` routes the video pipeline's batched
-error-diffusion step through a data-parallel mesh over every local device
-(parallel/sharding.py): frames shard over the 'data' axis, each chip runs
-the packed wavefront kernel on its own shard, zero steady-state
-collectives. Off by default — single-chip semantics (and tests) are
-unchanged unless explicitly requested.
+When more than one local device is present, the video pipeline's batched
+strategy steps route through a data-parallel mesh over every local device
+(parallel/sharding.py) BY DEFAULT: frames shard over the 'data' axis, each
+chip runs the packed wavefront kernel on its own shard, zero steady-state
+collectives. ``DITHER_PIE_TPU_AUTO_MESH=0`` opts out (single-chip
+semantics); ``=1`` forces the mesh path even for odd setups. Bit-identity
+of the sharded path vs single-device is proven per mode on a CPU-8 mesh
+(tests/test_multihost.py), which is what justifies the default.
 
 Scope: the WHOLE batched strategy surface — every ED mode (fixed weights,
 ostromoukhov, hybrid, perceptual, adaptive; aux streams shard with their
-frames), the ordered family, wavelet, and halftone. Bit-identical to the
-single-device path in every case.
+frames; palettes to PACKED_PALETTE_MAX colors), the ordered family,
+wavelet, and halftone.
 """
 
 from __future__ import annotations
@@ -23,7 +25,22 @@ import numpy as np
 
 
 def auto_mesh_enabled() -> bool:
-    return os.environ.get("DITHER_PIE_TPU_AUTO_MESH") == "1"
+    """Default ON with >1 local device; DITHER_PIE_TPU_AUTO_MESH=0/1
+    forces."""
+    v = os.environ.get("DITHER_PIE_TPU_AUTO_MESH")
+    if v is not None:
+        return v == "1"
+    return _local_device_count() > 1
+
+
+@functools.lru_cache(maxsize=1)
+def _local_device_count() -> int:
+    try:
+        import jax
+
+        return len(jax.devices())
+    except Exception:
+        return 1
 
 
 @functools.lru_cache(maxsize=32)
@@ -113,7 +130,17 @@ def maybe_sharded_ed(images: np.ndarray, palette: np.ndarray,
         n_dev = len(jax.devices())
     except Exception:
         return None
-    if n_dev < 2 or palette.shape[0] > 256:
+    from dither_pie_tpu.ops.wavefront import (PACKED_PALETTE_MAX,
+                                              _dense_search_mode)
+
+    # The packed kernel serves palettes to PACKED_PALETTE_MAX (1024); the
+    # round-3 bail at 256 silently kept exactly the slowest palettes
+    # single-chip.
+    if n_dev < 2 or palette.shape[0] > PACKED_PALETTE_MAX:
+        return None
+    if palette.shape[0] > 64 and _dense_search_mode() != "exact":
+        # The mxu/auto dense-search experiments gate on single-device runs;
+        # an explicit DITHER_PIE_TPU_DENSE_SEARCH knob wins over the mesh.
         return None
     b, h, w, _ = images.shape
     bp = -(-b // n_dev) * n_dev  # pad to a multiple of the mesh size

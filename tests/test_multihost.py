@@ -176,19 +176,56 @@ def test_folder_sharding(tmp_path, monkeypatch):
 
 
 def test_auto_mesh_ed_batch_matches_single(monkeypatch):
-    """DITHER_PIE_TPU_AUTO_MESH=1 shards the batch ED step over the 8
-    virtual CPU devices; outputs must be bit-identical to the single-device
-    path (padding to the mesh size included: b=10 over 8 devices)."""
+    """The auto-mesh path (default ON with >1 device) shards the batch ED
+    step over the 8 virtual CPU devices; outputs must be bit-identical to
+    the single-device path, which DITHER_PIE_TPU_AUTO_MESH=0 forces
+    (padding to the mesh size included: b=10 over 8 devices)."""
     frames = np.random.RandomState(5).randint(
         0, 256, (10, 24, 32, 3), dtype=np.uint8)
     pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40), (30, 90, 200)]
     d = dpt.ImageDitherer(
         num_colors=4, dither_mode=dpt.DitherMode.ERROR_DIFFUSION,
         palette=list(pal), dither_params={"variant": "floyd_steinberg"})
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "0")
     single = d.apply_dithering_batch(frames)
     monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
     sharded = d.apply_dithering_batch(frames)
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_auto_mesh_dense_palette_shards(monkeypatch):
+    """Palettes past the old 256 bail (packed kernel serves up to 1024)
+    now shard too — exactly the slowest palettes stayed single-chip
+    before (VERDICT r03 item 4)."""
+    from dither_pie_tpu.parallel import auto
+
+    frames = np.random.RandomState(8).randint(
+        0, 256, (8, 16, 24, 3), dtype=np.uint8).astype(np.float32)
+    pal = np.unique(np.random.RandomState(42).randint(0, 256, (700, 3)),
+                    axis=0)[:300].astype(np.float32)
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
+    sharded = auto.maybe_sharded_ed(frames, pal, "floyd_steinberg", "fixed")
+    assert sharded is not None, "dense palette must not bail from the mesh"
+    from dither_pie_tpu.ops import wavefront as wf
+
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "0")
+    single = wf.ed_batch_wavefront(frames.copy(), pal, "fixed",
+                                   "floyd_steinberg")
+    np.testing.assert_array_equal(sharded, single)
+
+
+def test_auto_mesh_default_on_with_multiple_devices(monkeypatch):
+    """With >1 local device and no env override, auto-mesh is the default
+    (VERDICT r03 item 4); =0 opts out."""
+    from dither_pie_tpu.parallel import auto
+
+    monkeypatch.delenv("DITHER_PIE_TPU_AUTO_MESH", raising=False)
+    assert auto._local_device_count() == 8  # conftest's virtual CPU mesh
+    assert auto.auto_mesh_enabled()
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "0")
+    assert not auto.auto_mesh_enabled()
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
+    assert auto.auto_mesh_enabled()
 
 
 def test_auto_mesh_ordered_batch_matches_single(monkeypatch):
@@ -199,6 +236,7 @@ def test_auto_mesh_ordered_batch_matches_single(monkeypatch):
     pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40), (30, 90, 200)]
     d = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode.BAYER,
                           palette=list(pal), dither_params={"size": "4x4"})
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "0")
     single = d.apply_dithering_batch(frames)
     monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
     sharded = d.apply_dithering_batch(frames)
@@ -225,6 +263,7 @@ def test_auto_mesh_covers_whole_strategy_surface(monkeypatch, mode, params):
     pal = [(0, 0, 0), (255, 255, 255), (200, 40, 40), (30, 90, 200)]
     d = dpt.ImageDitherer(num_colors=4, dither_mode=dpt.DitherMode(mode),
                           palette=list(pal), dither_params=dict(params))
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "0")
     single = d.apply_dithering_batch(frames)
     monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "1")
     sharded = d.apply_dithering_batch(frames)

@@ -236,6 +236,38 @@ def test_packed_large_palette_lane_search():
     assert np.all(o[0] == n, axis=-1).mean() > 0.95
 
 
+def test_dense_tournament_first_wins_on_engineered_ties():
+    """The dense-palette pairwise tournament (bit-reversed layout) must
+    resolve EXACT ties to the smallest original palette index, matching the
+    golden engine's first-wins argmin. Duplicate colors scattered through
+    the palette force ties on every hit."""
+    rng = np.random.RandomState(33)
+    base = np.unique(rng.randint(0, 256, (300, 3)), axis=0)[:128].astype(
+        np.float32)
+    pal = base.copy()
+    # Duplicates of earlier entries planted at later indices (ties must
+    # resolve to the EARLIER copy; any tournament tie-break bug flips the
+    # chosen index — caught by the index-emitting path below).
+    for src, dst in ((0, 97), (5, 64), (17, 127), (40, 80), (3, 4)):
+        pal[dst] = pal[src]
+    imgs = rng.randint(0, 256, (2, 12, 16, 3)).astype(np.float32)
+    # quantize content onto palette colors so ties actually occur
+    imgs[0, :6] = pal[97]  # exact duplicate color -> tie on first touch
+    imgs[1, :, :4] = pal[64]
+    col = wf._run_packed("fixed", imgs.copy(), pal,
+                         variant="floyd_steinberg")
+    idx = wf._run_packed("fixed", imgs.copy(), pal,
+                         variant="floyd_steinberg", return_indices=True)
+    # first-wins: a duplicate's later index must never be emitted
+    for src, dst in ((0, 97), (5, 64), (17, 127), (40, 80), (3, 4)):
+        assert not np.any(idx == dst), (src, dst)
+    np.testing.assert_array_equal(pal.astype(np.uint8)[idx], col)
+    for i in range(2):
+        n = ed_host.ed_fixed_fast(imgs[i].copy(), pal, "floyd_steinberg",
+                                  False)
+        np.testing.assert_array_equal(col[i], n)
+
+
 def test_packed_past_256_colors():
     """The packed path now serves palettes to PACKED_PALETTE_MAX (1024):
     P=300 buckets to pp=512 and exercises the halving-tree select at full
@@ -359,6 +391,9 @@ def test_dense_search_auto_gate(monkeypatch):
     fake_run.mxu_bad = False
     monkeypatch.setattr(wf, "_run", fake_run)
     monkeypatch.setenv("DITHER_PIE_TPU_DENSE_SEARCH", "auto")
+    # The gate is a single-device experiment: keep the (default-on)
+    # auto-mesh from intercepting the batch before it.
+    monkeypatch.setenv("DITHER_PIE_TPU_AUTO_MESH", "0")
     wf._DENSE_GATE_CACHE.clear()
 
     out = wf.ed_batch_wavefront(imgs.copy(), pal, "fixed", "floyd_steinberg")

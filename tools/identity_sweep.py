@@ -8,14 +8,21 @@ error-accumulation-order divergence (the golden engine folds error from
 the image value in contributor-scan order; a single accumulated error
 buffer diverges at scale — see DESIGN.md "Exact accumulation order").
 
-Golden semantics: every cell gates on the f32-arithmetic engine (the
-reference's Numba-path semantics, which the kernel implements
-bit-for-bit). The f64-exact engine (scipy-KDTree candidate ordering)
-legitimately differs on exact half-way palette ties, which u8 content
-can reach (error fractions like 0.5 are exactly representable) — first
-observed at u8 1080p/ostromoukhov, where ONE such tie ([0,0,~127.5]
-between black and blue) flips and diffuses to 24% of downstream pixels
-while the kernel stays 1.0 vs the f32 engine.
+Golden semantics: every ED cell gates on the f32-lookup engine — the
+kernel's exact f32 palette-search arithmetic, the same semantics FAMILY
+as the reference's Numba fast paths where those exist (fixed +
+ostromoukhov; the reference's Numba hybrid does its luminance split in
+f64 intermediates, and perceptual/adaptive have no Numba path at all —
+for those modes the f32 contract is this framework's choice, bounded
+against the reference's f64-KDTree ordering by the >=0.95 perceptual
+parity tests). The f64-exact engine legitimately differs on exact
+half-way palette ties, which u8 content can reach (error fractions like
+0.5 are exactly representable) — first observed at u8
+1080p/ostromoukhov, where ONE such tie ([0,0,~127.5] between black and
+blue) flips and diffuses to 24% of downstream pixels while the kernel
+stays 1.0 vs the f32 engine. To keep the stricter engine in the loop at
+scale, one f32-content cell per shape ALSO gates on the f64-exact
+engine (continuous f32 content makes exact ties measure-zero).
 
 Run on a TPU host:  python tools/identity_sweep.py [--quick | --p1080]
 Expect: identity 1.0 on every line. Anything below 1.0 is a regression.
@@ -61,14 +68,14 @@ def main():
     # divergence classes this sweep catches are shape-scaling bugs, so one
     # deep shape + one wide variant grid covers both axes).
     p1080 = "--p1080" in sys.argv
+    if p1080 and quick:
+        sys.exit("--quick and --p1080 are mutually exclusive: --p1080 is "
+                 "the focused 1080p set, --quick the 480p-only grid.")
     if p1080:
         shapes = [(1080, 1920)]
         variants = ["floyd_steinberg", "stucki"]
-    elif quick:
-        shapes = [(480, 640)]
     else:
-        shapes = [(480, 640), (720, 1280)]
-    if not p1080:
+        shapes = [(480, 640)] if quick else [(480, 640), (720, 1280)]
         # ALL 8 fixed variants: burkes/sierra/sierra_two_row were skipped
         # in round 2 — and the accumulation-order divergence class this
         # sweep exists to catch appeared ONLY at 720p scale.
@@ -117,8 +124,6 @@ def main():
                 out = wf.ed_batch_wavefront(imgs.copy(), pal8, "perceptual")
                 check(f"{tag} {h}p/perceptual", out[3],
                       ed_host.ed_perceptual_fast(imgs[3].copy(), pal8))
-
-            if not p1080:
                 # Adaptive-variance: the gate is computed exactly as the
                 # strategy computes it (variance map >= threshold).
                 from dither_pie_tpu.ops import adaptive as adp
@@ -132,6 +137,18 @@ def main():
                 check(f"{tag} {h}p/adaptive", out[3],
                       ed_host.ed_adaptive_fast(imgs[3].copy(), pal8,
                                                gates[3] > 0.5))
+
+            if not as_u8:
+                # One f32-CONTENT cell per shape gated on the f64-EXACT
+                # engine (scipy-KDTree candidate ordering): continuous f32
+                # content makes exact half-way ties measure-zero, so the
+                # stricter engine stays in the loop at scale — a shared
+                # systematic error in kernel + f32 twin would fail here.
+                out = wf.ed_batch_wavefront(imgs.copy(), pal8, "fixed",
+                                            "floyd_steinberg")
+                check(f"{tag} {h}p/fs-f64-exact-gate", out[3],
+                      ed_host.ed_fixed(imgs[3].copy(), pal8,
+                                       "floyd_steinberg", False))
 
             # Large palettes exercise the packed lane-search kernel (the
             # round-2 v1 fallback): 256 colors, fs + ostromoukhov. Golden
