@@ -167,8 +167,8 @@ def main():
 
     # BENCH_CONFIGS="4,5" reruns only the named configs (development /
     # methodology validation; the driver runs everything). Standalone:
-    # 1, 2, 3, A, link, 4, 4b, 5, fidelity. 2b/2bm and 2p reuse config 2's
-    # buffers -- include "2" when selecting them.
+    # 1, 2, 3, A, link, 4, 4b, 5, 6, fidelity. 2b/2bm and 2p reuse config
+    # 2's buffers -- include "2" when selecting them.
     only = os.environ.get("BENCH_CONFIGS")
 
     class _SkipBench(Exception):
@@ -802,6 +802,44 @@ def main():
         pass
     except Exception as e:
         errors["config5"] = repr(e)
+
+    # ---- Config 6: Riemersma host-vs-device A/B (VERDICT r03 item 5) ------
+    # The on-device lax.scan exists and is bit-identical on TPU; this
+    # records the measured decision (host C++ wins) in every bench capture.
+    try:
+        _gate("6")
+        from dither_pie_tpu.ops import ed_host
+        from dither_pie_tpu.ops.riemersma_scan import riemersma_scan_batch
+
+        rh, rw, rb = (48, 64, 2) if small else (240, 320, 4)
+        r_imgs = np.stack([synth_image(rh, rw, 600 + i)
+                           for i in range(rb)]).astype(np.float32)
+        r_pal = np.unique(np.random.RandomState(3).randint(
+            0, 256, (40, 3)), axis=0)[:16].astype(np.float32)
+        _ = riemersma_scan_batch(r_imgs.copy(), r_pal)  # compile
+        t0 = time.time()
+        dev_out = riemersma_scan_batch(r_imgs.copy(), r_pal)
+        dev_s = time.time() - t0
+        t0 = time.time()
+        host_ref = [ed_host.ed_riemersma_fast(r_imgs[i].copy(), r_pal)
+                    for i in range(rb)]
+        host_s = time.time() - t0
+        from dither_pie_tpu.core.fidelity import identity_fraction
+
+        r_ident = min(identity_fraction(dev_out[i],
+                                        host_ref[i].astype(np.uint8))
+                      for i in range(rb))
+        details["riemersma_240p_device_fps"] = round(rb / dev_s, 2)
+        details["riemersma_240p_host_fps"] = round(rb / host_s, 2)
+        details["riemersma_device_vs_host"] = round(host_s / dev_s, 3)
+        details["riemersma_device_identity"] = round(r_ident, 4)
+        log(f"6: riemersma {rh}p A/B: device {rb/dev_s:.2f} fps vs host "
+            f"C++ {rb/host_s:.2f} fps ({host_s/dev_s:.2f}x; identity "
+            f"{r_ident}) -> host stays the default")
+    except _SkipBench:
+        pass
+    except Exception as e:
+        errors["config6"] = repr(e)
 
     # ---- On-chip fidelity spot-check vs the C++ golden engine -------------
     try:

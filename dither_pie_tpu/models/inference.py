@@ -43,6 +43,36 @@ def process(img: Image.Image) -> np.ndarray:
     return ((arr - 0.5) / 0.5)[None]  # (1, H, W, 3)
 
 
+def process_u8(img: Image.Image) -> np.ndarray:
+    """Center-crop to a multiple of 4, keep uint8 — the normalization to
+    [-1, 1] happens ON DEVICE (`_maybe_normalize`), so the host->device
+    transfer ships 1 byte/pixel instead of 4 (the video-path H2D cut that
+    mirrors the ds4 D2H cut)."""
+    ow, oh = img.size
+    nw = int(round(ow / 4) * 4)
+    nh = int(round(oh / 4) * 4)
+    left = (ow - nw) // 2
+    top = (oh - nh) // 2
+    return np.asarray(img.crop((left, top, left + nw, top + nh)),
+                      dtype=np.uint8)[None]  # (1, H, W, 3) u8
+
+
+def _maybe_normalize(in_t):
+    """u8 operands normalize on device (x/255 then (v-0.5)/0.5 like
+    process()); f32 operands pass through (already normalized on host).
+
+    Precision: XLA rewrites the divide-by-constant to a reciprocal
+    multiply, so device values can differ from host process() by 1 ulp
+    (~6e-8) — far inside the neural parity budget (torch parity holds at
+    atol 1e-5, and a tanh-bounded generator maps 1 ulp of input to <1 u8
+    step of output). DITHER_PIE_TPU_NEURAL_U8_IN=0 restores the
+    host-exact f32 prep."""
+    if in_t.dtype == jnp.uint8:
+        x = in_t.astype(jnp.float32) / jnp.float32(255.0)
+        return (x - jnp.float32(0.5)) / jnp.float32(0.5)
+    return in_t
+
+
 def deprocess(out: np.ndarray) -> Image.Image:
     """[-1,1] -> uint8 image, then /4 + x4 NEAREST for crisp 4x4 blocks."""
     img = ((out[0] + 1) / 2.0 * 255.0).astype(np.uint8)
@@ -84,6 +114,7 @@ def resize_image_nearest(img: Image.Image, target_size: int) -> Image.Image:
 
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _forward(gen_params, alias_params, in_t, ref_t, precision: str = "float32"):
+    in_t = _maybe_normalize(in_t)
     return aliasnet_forward(
         alias_params,
         c2pgen_forward(gen_params, in_t, ref_t, precision=precision),
@@ -107,6 +138,7 @@ def _forward_u8(gen_params, alias_params, in_t, ref_t,
     auto-selects bf16 behind a first-batch parity gate
     (PixelizationModel._gated_batch_forward); elsewhere opt in via
     DITHER_PIE_TPU_NEURAL_PRECISION=bfloat16."""
+    in_t = _maybe_normalize(in_t)
     out = aliasnet_forward(
         alias_params,
         c2pgen_forward(gen_params, in_t, ref_t, precision=precision),
@@ -119,6 +151,7 @@ def _forward_u8_adain(gen_params, alias_params, in_t, adain,
                       precision: str = "float32"):
     """forward_u8 with the (constant) adain style code precomputed once —
     skips the per-call VGG19+PBEnc+MLP pass over reference.png."""
+    in_t = _maybe_normalize(in_t)
     out = aliasnet_forward(
         alias_params,
         c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
@@ -136,6 +169,7 @@ def _forward_u8_ds4_adain(gen_params, alias_params, in_t, adain,
     output — shipping just those cuts device->host traffic 16x vs the full
     u8 frame (64x vs f32). The host reconstructs bit-identically with
     ``upsample4_u8``."""
+    in_t = _maybe_normalize(in_t)
     out = aliasnet_forward(
         alias_params,
         c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
@@ -147,6 +181,7 @@ def _forward_u8_ds4_adain(gen_params, alias_params, in_t, adain,
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _forward_adain(gen_params, alias_params, in_t, adain,
                    precision: str = "float32"):
+    in_t = _maybe_normalize(in_t)
     return aliasnet_forward(
         alias_params,
         c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
@@ -311,7 +346,13 @@ class PixelizationModel:
         """
         import os
 
-        pre = [process(resize_image_nearest(im.convert("RGB"), max_size * 4))
+        # u8 inputs: normalization happens on device (_maybe_normalize), so
+        # the host->device transfer ships 1 byte/pixel instead of 4 — the
+        # H2D mirror of the ds4 D2H cut. Opt out (host f32 prep) with
+        # DITHER_PIE_TPU_NEURAL_U8_IN=0.
+        u8_in = os.environ.get("DITHER_PIE_TPU_NEURAL_U8_IN", "1") != "0"
+        prep = process_u8 if u8_in else process
+        pre = [prep(resize_image_nearest(im.convert("RGB"), max_size * 4))
                for im in images]
         if len({p.shape for p in pre}) != 1:
             return [self.pixelize_image(im, max_size) for im in images]

@@ -63,7 +63,10 @@ static void final_clamp(float* work, int n) {
 // compiler vectorizes it (-O3 -march=native), and the argmin stays scalar
 // over a tiny stack array.
 // ---------------------------------------------------------------------------
-#define MAX_PAL 256
+// Matches the packed kernel's PACKED_PALETTE_MAX: the f32 twins are the
+// tie-robust golden gates for every palette size the kernel serves
+// (stack cost: 3*1024 f32 SoA + 1024 f32 d2 = 16 KB — fine).
+#define MAX_PAL 1024
 
 struct PalSoA {
     float r[MAX_PAL], g[MAX_PAL], b[MAX_PAL];

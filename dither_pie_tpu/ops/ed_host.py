@@ -66,8 +66,10 @@ def ed_fixed_fast(
     """SIMD f32 fast path (video throughput): distances in float32, matching
     the reference's Numba-path semantics (dithering_lib.py:240-252) instead
     of the exact path's f64 KDTree ordering. Falls back to the exact engine
-    for >256-color palettes or when the native lib is unavailable."""
-    if palette.shape[0] > 256:
+    for >1024-color palettes or when the native lib is unavailable (1024 =
+    the packed kernel's PACKED_PALETTE_MAX, so every palette the kernel
+    serves has a tie-robust f32 golden)."""
+    if palette.shape[0] > 1024:
         return ed_fixed(work, palette, variant, serpentine)
     lib = get_lib()
     if lib is None:
@@ -85,7 +87,7 @@ def ed_ostromoukhov_fast(
     work: np.ndarray, palette: np.ndarray, serpentine: bool = False
 ) -> np.ndarray:
     """SIMD f32 fast path for Ostromoukhov (see ed_fixed_fast)."""
-    if palette.shape[0] > 256:
+    if palette.shape[0] > 1024:
         return ed_ostromoukhov(work, palette, serpentine)
     lib = get_lib()
     if lib is None:
@@ -110,7 +112,7 @@ def ed_hybrid_fast(
     kernel's exact palette-search semantics — agrees with the exact engine
     except on exact half-way palette ties."""
     lib = get_lib()
-    if palette.shape[0] > 256 or lib is None:
+    if palette.shape[0] > 1024 or lib is None:
         return ed_hybrid(work, palette, lum_factor, col_factor,
                          clamp_before_lookup)
     work = np.ascontiguousarray(work, dtype=np.float32)
@@ -124,7 +126,7 @@ def ed_hybrid_fast(
 def ed_perceptual_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """f32-lookup twin of ed_perceptual (see ed_hybrid_fast)."""
     lib = get_lib()
-    if palette.shape[0] > 256 or lib is None:
+    if palette.shape[0] > 1024 or lib is None:
         return ed_perceptual(work, palette)
     work = np.ascontiguousarray(work, dtype=np.float32)
     pal = np.ascontiguousarray(palette, dtype=np.float32)
@@ -143,7 +145,7 @@ def ed_adaptive_fast(
 ) -> np.ndarray:
     """f32-lookup twin of ed_adaptive (see ed_hybrid_fast)."""
     lib = get_lib()
-    if palette.shape[0] > 256 or lib is None:
+    if palette.shape[0] > 1024 or lib is None:
         return ed_adaptive(work, palette, gate)
     work = np.ascontiguousarray(work, dtype=np.float32)
     pal = np.ascontiguousarray(palette, dtype=np.float32)
@@ -155,7 +157,7 @@ def ed_adaptive_fast(
 
 def ed_riemersma_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """SIMD f32 fast path for the Hilbert-curve scan (see ed_fixed_fast)."""
-    if palette.shape[0] > 256:
+    if palette.shape[0] > 1024:
         return ed_riemersma(work, palette)
     lib = get_lib()
     if lib is None:

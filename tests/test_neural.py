@@ -216,6 +216,51 @@ def test_ds4_batch_path_bit_identical(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_u8_input_normalization_within_ulp():
+    """Device-side u8 normalization tracks host process() to 1 ulp for
+    every possible u8 value (XLA rewrites /255 into a reciprocal multiply;
+    the difference is inside the neural parity budget)."""
+    import jax
+
+    from dither_pie_tpu.models.inference import _maybe_normalize
+
+    vals = np.arange(256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    vals = np.repeat(vals, 3, axis=-1)
+    dev = np.asarray(jax.jit(_maybe_normalize)(jnp.asarray(vals)))
+    host = ((vals.astype(np.float32) / 255.0) - 0.5) / 0.5
+    np.testing.assert_allclose(dev, host, rtol=0, atol=2.5e-7)
+    # and f32 operands pass through untouched
+    f32 = np.asarray(jax.jit(_maybe_normalize)(jnp.asarray(host)))
+    np.testing.assert_array_equal(f32, host)
+
+
+def test_u8_input_batch_path_matches_f32(monkeypatch):
+    """pixelize_images_batch with u8 device-normalized inputs (default)
+    matches the host-f32 prep path within 1 u8 step (the 1-ulp input
+    difference through a tanh-bounded generator)."""
+    from PIL import Image
+
+    from dither_pie_tpu.models.inference import PixelizationModel
+
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_PRECISION", "float32")
+    rng = np.random.RandomState(5)
+    frames = [Image.fromarray(rng.randint(0, 256, (36, 48, 3),
+                                          dtype=np.uint8))
+              for _ in range(2)]
+    m = PixelizationModel()
+    m.load_random(0)
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_U8_IN", "0")
+    f32_in = m.pixelize_images_batch(frames, 12)
+
+    m2 = PixelizationModel()
+    m2.load_random(0)
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_U8_IN", "1")
+    u8_in = m2.pixelize_images_batch(frames, 12)
+    for a, b in zip(f32_in, u8_in):
+        np.testing.assert_allclose(np.asarray(a).astype(np.int16),
+                                   np.asarray(b).astype(np.int16), atol=1)
+
+
 def test_bf16_video_gate_selects_and_falls_back(monkeypatch):
     """The batched-video forward defaults to bf16 behind a first-batch
     parity gate and falls back to f32 when the gate fails; an explicit

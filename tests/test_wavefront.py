@@ -236,6 +236,40 @@ def test_packed_large_palette_lane_search():
     assert np.all(o[0] == n, axis=-1).mean() > 0.95
 
 
+def test_f32_twin_serves_dense_palettes():
+    """The C++ f32 twins now cover palettes to 1024 (PACKED_PALETTE_MAX):
+    bitwise-equal to a pure-python f32 scan at P=512, so the dense sweep
+    cells gate on a tie-robust f32 golden instead of silently falling back
+    to the f64 engine."""
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (20, 24, 3)).astype(np.float32)
+    pal = np.unique(rng.randint(0, 256, (1400, 3)), axis=0)[:512].astype(
+        np.float32)
+    fast = ed_host.ed_fixed_fast(img.copy(), pal, "floyd_steinberg", False)
+
+    from dither_pie_tpu.ops.ed_kernels import kernel_arrays
+
+    offs, wts = kernel_arrays("floyd_steinberg")
+    work = img.copy()
+    h, w, _ = work.shape
+    for y in range(h):
+        for x in range(w):
+            np.clip(work[y, x], 0, 255, out=work[y, x])
+            old = work[y, x].copy()
+            d2 = (((pal[:, 0] - old[0]) * (pal[:, 0] - old[0])
+                   + (pal[:, 1] - old[1]) * (pal[:, 1] - old[1]))
+                  + (pal[:, 2] - old[2]) * (pal[:, 2] - old[2]))
+            bi = int(np.argmin(d2.astype(np.float32)))
+            work[y, x] = pal[bi]
+            err = old - pal[bi]
+            for k in range(len(wts)):
+                nx, ny = x + int(offs[k, 0]), y + int(offs[k, 1])
+                if 0 <= nx < w and 0 <= ny < h:
+                    work[ny, nx] += err * wts[k]
+    np.clip(work, 0, 255, out=work)
+    np.testing.assert_array_equal(fast, work)
+
+
 def test_dense_tournament_first_wins_on_engineered_ties():
     """The dense-palette pairwise tournament (bit-reversed layout) must
     resolve EXACT ties to the smallest original palette index, matching the
