@@ -58,6 +58,13 @@ LANE = 128
 # rest.
 PACKED_PALETTE_MAX = 1024
 
+# Dense-palette tournaments materialize d2 in blocks of this many stored
+# rows, combining block pairs immediately (same comparison tree as the
+# flat loop — bit-identical; see _build_kernel_packed). Caps per-step
+# liveness at ~3 (blk, lf) tiles for any pp so Mosaic's cross-step
+# pipelining survives 512/1024-color palettes.
+_TOURNEY_BLK = 256
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -1032,12 +1039,96 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                         # does not FMA-contract mul-into-add (verified
                         # bitwise on hardware — tools/gather_probe.py notes,
                         # and the at-scale gate is tools/identity_sweep.py).
-                        sqs = []
-                        for c in range(3):
-                            dc = (pal_ref[:, c:c + 1]
-                                  - cur[c * nb + b:c * nb + b + 1])
-                            sqs.append(dc * dc)  # (pp, lf)
-                        d2 = (sqs[0] + sqs[1]) + sqs[2]
+                        def _d2_rows(lo, hi):
+                            sqs = []
+                            for c in range(3):
+                                dc = (pal_ref[lo:hi, c:c + 1]
+                                      - cur[c * nb + b:c * nb + b + 1])
+                                sqs.append(dc * dc)  # (hi - lo, lf)
+                            return (sqs[0] + sqs[1]) + sqs[2]
+
+                        if tourney and pp > _TOURNEY_BLK:
+                            # BLOCKED tournament for pp > _TOURNEY_BLK: the
+                            # monolithic form keeps ~10 (pp, lf) f32 temps
+                            # live per unrolled step, which collapses
+                            # Mosaic's cross-step software pipelining once
+                            # chunk * liveness nears the VMEM scope
+                            # (measured superlinear tail: P=256->512->1024
+                            # stepped 2.6-2.8x per doubling instead of 2x).
+                            # Here d2 materializes one _TOURNEY_BLK-row
+                            # block at a time and block pairs combine
+                            # immediately — the SAME comparison tree as the
+                            # flat loop (the flat level at `size` pairs
+                            # stored row r with r + size/2; with
+                            # r = q*BLK + t that is block q vs
+                            # q + size/(2*BLK), row t — identical pairs,
+                            # identical lt direction), so the result is
+                            # bit-identical while peak liveness stays ~3
+                            # BLK-row tiles for any pp. Payload columns
+                            # stay (BLK, 1) until their first select, so
+                            # the (pp, lf) broadcast never materializes.
+                            blk = _TOURNEY_BLK
+                            nblk = pp // blk
+                            need_o = emit_idx  # pp > 256 in this branch
+                            vals = [None] * nblk
+                            pays = [None] * nblk
+                            pay2s = [None] * nblk
+
+                            def _ensure(q):
+                                if vals[q] is None:
+                                    vals[q] = _d2_rows(q * blk,
+                                                       (q + 1) * blk)
+                                    pays[q] = pal_pay[q * blk:(q + 1) * blk]
+                                    if need_o:
+                                        pay2s[q] = orig_col[
+                                            q * blk:(q + 1) * blk]
+
+                            sz = nblk
+                            while sz > 1:
+                                hb = sz // 2
+                                for q in range(hb):
+                                    _ensure(q)
+                                    _ensure(q + hb)
+                                    lt = vals[q + hb] < vals[q]
+                                    vals[q] = jnp.where(
+                                        lt, vals[q + hb], vals[q])
+                                    pays[q] = jnp.where(
+                                        lt, pays[q + hb], pays[q])
+                                    if need_o:
+                                        pay2s[q] = jnp.where(
+                                            lt, pay2s[q + hb], pay2s[q])
+                                    vals[q + hb] = None
+                                    pays[q + hb] = None
+                                    pay2s[q + hb] = None
+                                sz = hb
+                            val = vals[0]
+                            pay = pays[0]
+                            pay2 = pay2s[0] if need_o else None
+                            size = blk
+                            while size > 1:
+                                half = size // 2
+                                lt = val[half:size] < val[:half]
+                                val = jnp.where(lt, val[half:size],
+                                                val[:half])
+                                pay = jnp.where(lt, pay[half:size],
+                                                pay[:half])
+                                if pay2 is not None:
+                                    pay2 = jnp.where(lt, pay2[half:size],
+                                                     pay2[:half])
+                                size = half
+                            t24 = pay
+                            idxb = (pay2 if pay2 is not None
+                                    else jnp.zeros((1, lf), jnp.int32))
+                            packed_rows.append(t24)
+                            chosen_rows[0].append(
+                                ((t24 >> 16) & 255).astype(jnp.float32))
+                            chosen_rows[1].append(
+                                ((t24 >> 8) & 255).astype(jnp.float32))
+                            chosen_rows[2].append(
+                                (t24 & 255).astype(jnp.float32))
+                            idx_rows.append(idxb)
+                            continue
+                        d2 = _d2_rows(0, pp)
                         if tourney:
                             val = d2
                             pay = jnp.broadcast_to(pal_pay, (pp, lf))

@@ -302,6 +302,34 @@ def test_dense_tournament_first_wins_on_engineered_ties():
         np.testing.assert_array_equal(col[i], n)
 
 
+def test_blocked_tournament_first_wins_pp1024():
+    """Palettes past _TOURNEY_BLK (256) run the BLOCKED tournament — d2
+    materialized per 256-row block, block pairs combined on the same
+    comparison tree as the flat loop. 600 colors buckets to pp=1024
+    (nblk=4, two block-combine levels); duplicate colors force exact d2=0
+    ties that must still resolve first-wins, and the index-emitting path
+    (pay2 carried through the block combines) must gather back exactly."""
+    rng = np.random.RandomState(7)
+    pal = np.unique(rng.randint(0, 256, (2000, 3)), axis=0)[:600].astype(
+        np.float32)
+    assert pal.shape[0] == 600
+    pal[100] = pal[3]
+    pal[550] = pal[3]
+    pal[299] = pal[7]
+    img = np.empty((2, 20, 28, 3), np.uint8)
+    img[0] = pal[3].astype(np.uint8)  # constant frames: exact d2=0 ties
+    img[1] = pal[7].astype(np.uint8)
+    col = wf._run("fixed", img, pal, variant="floyd_steinberg")
+    idx = wf._run("fixed", img, pal, variant="floyd_steinberg",
+                  return_indices=True)
+    gold = np.stack([ed_host.ed_fixed_fast(f, pal, "floyd_steinberg")
+                     for f in img])
+    np.testing.assert_array_equal(col, gold)
+    np.testing.assert_array_equal(pal.astype(np.uint8)[idx], gold)
+    assert (idx[0] == 3).all() and (idx[1] == 7).all()
+    assert not np.isin(idx, [100, 550, 299]).any()
+
+
 def test_packed_past_256_colors():
     """The packed path now serves palettes to PACKED_PALETTE_MAX (1024):
     P=300 buckets to pp=512 and exercises the halving-tree select at full

@@ -182,6 +182,18 @@ def main():
                       ed_host.ed_fixed_fast(imgs[3].copy(), pal512,
                                             "floyd_steinberg", False))
 
+            # 600 colors buckets to pp=1024 (nblk=4): TWO block-combine
+            # levels of the blocked tournament (_TOURNEY_BLK=256) on
+            # hardware — pal512 exercises only one.
+            pal600 = np.unique(prng.randint(0, 256, (1500, 3)),
+                               axis=0)[:600].astype(np.float32)
+            if not p1080:
+                out = wf.ed_batch_wavefront(imgs.copy(), pal600, "fixed",
+                                            "floyd_steinberg")
+                check(f"{tag} {h}p/fs-pal600-pp1024", out[3],
+                      ed_host.ed_fixed_fast(imgs[3].copy(), pal600,
+                                            "floyd_steinberg", False))
+
             # Index-emitting kernel variants (the 1-2 byte/pixel transfer
             # stream): the host palette gather must reproduce the color
             # output bit-for-bit at scale, u8 (P<=256) and u16 (P>256).
