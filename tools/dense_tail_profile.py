@@ -8,7 +8,14 @@ If the kernel-only column scales superlinearly, the tail is Mosaic
 scheduling of the (pp, lf) search tiles; if only the wall column does,
 the tail is in the epilogue/splits.
 
+Repeat dispatches are salted (one palette byte per round) because the
+axon relay DEDUPES byte-identical dispatches — an unsalted loop times the
+dedup cache, not the kernel (observed: 0.1 ms for a 1080p batch-16 scan).
+The wall column is tunnel-bound on relayed hosts (it ships ~100 MB of
+frames per call); --skip-wall omits it.
+
 Usage: python tools/dense_tail_profile.py [--rounds 5] [--batch 16]
+                                          [--skip-wall]
 """
 import argparse
 import sys
@@ -28,6 +35,7 @@ def main():
     ap.add_argument("--rounds", type=int, default=5)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--hw", type=str, default="1080x1920")
+    ap.add_argument("--skip-wall", action="store_true")
     args = ap.parse_args()
     h, w = map(int, args.hw.split("x"))
     b = args.batch
@@ -63,23 +71,37 @@ def main():
                 wf._pad_palette_packed(palette, pp, b))
         aux = jax.numpy.zeros((1, 8), jax.numpy.float32)
         dims = jax.numpy.asarray(np.array([w, h], dtype=np.int32))
+        # One distinct palette buffer per round: byte-identical repeat
+        # dispatches are DEDUPED by the relay and time ~0 ms.
+        pal_host = np.asarray(pal_dev)
+        pal_rounds = []
+        for i in range(args.rounds):
+            ph = pal_host.copy()
+            ph.reshape(-1)[0] = np.float32(i)
+            pal_rounds.append(jax.numpy.asarray(ph))
+        for pr in pal_rounds:
+            pr.block_until_ready()
         # warm-up compile + one run
         call(dims, img_skew, pal_dev, aux).block_until_ready()
         ks = []
-        for _ in range(args.rounds):
+        for pr in pal_rounds:
             t0 = time.perf_counter()
-            call(dims, img_skew, pal_dev, aux).block_until_ready()
+            call(dims, img_skew, pr, aux).block_until_ready()
             ks.append(time.perf_counter() - t0)
         k_ms = float(np.median(ks)) * 1000
 
-        # full wall (includes skew+epilogue+host splits), same cell
-        wf._run_packed(mode, images, palette, variant=variant)  # warm
-        ws = []
-        for _ in range(args.rounds):
-            t0 = time.perf_counter()
-            wf._run_packed(mode, images, palette, variant=variant)
-            ws.append(time.perf_counter() - t0)
-        w_ms = float(np.median(ws)) * 1000
+        if args.skip_wall:
+            w_ms = float("nan")
+        else:
+            # full wall (includes skew+epilogue+host splits+transfers;
+            # tunnel-bound on relayed hosts), same cell
+            wf._run_packed(mode, images, palette, variant=variant)  # warm
+            ws = []
+            for _ in range(args.rounds):
+                t0 = time.perf_counter()
+                wf._run_packed(mode, images, palette, variant=variant)
+                ws.append(time.perf_counter() - t0)
+            w_ms = float(np.median(ws)) * 1000
         ratio = (k_ms / prev_k) if prev_k else float("nan")
         prev_k = k_ms
         print(f"{p:>5} {pp:>5} {k_ms:>10.1f} {w_ms:>9.1f} "
