@@ -41,12 +41,19 @@ KNOWN_SECTION_KEYS = {
 
 
 def _warn_unknown_keys(config: Dict[str, Any]) -> None:
-    """Emit ONE aggregated warning for unrecognized sections/keys (non-fatal)."""
-    unknown = [f"'{k}'" for k in config if k not in KNOWN_TOP_LEVEL_KEYS]
+    """Emit ONE aggregated warning for unrecognized sections/keys (non-fatal).
+
+    Keys starting with ``_`` are comment/annotation keys by convention
+    (every shipped example uses ``"_comment"``) and are exempt — warning on
+    them would train users to ignore the typo warning this exists for.
+    """
+    unknown = [f"'{k}'" for k in config
+               if k not in KNOWN_TOP_LEVEL_KEYS and not k.startswith("_")]
     for section, known in KNOWN_SECTION_KEYS.items():
         sec = config.get(section)
         if isinstance(sec, dict):
-            unknown.extend(f"'{section}.{k}'" for k in sec if k not in known)
+            unknown.extend(f"'{section}.{k}'" for k in sec
+                           if k not in known and not k.startswith("_"))
     if unknown:
         logger.warning(
             "Ignoring unknown config %s: %s (known sections: pixelization, "

@@ -1332,9 +1332,19 @@ class ImageDitherer:
         # reproduces the color output bit-for-bit. Gamma folds into the
         # palette: output pixels only ever take palette values, so the
         # per-entry linear->sRGB map equals the per-pixel map exactly.
+        # Precedence vs auto-mesh: the sharded multi-chip path returns RGB
+        # (no index-emitting sharded kernel yet), so when the mesh CAN
+        # serve this batch it wins by default — compute spread over N
+        # chips beats a 3x D2H cut. But the mesh never serves planar
+        # batches, and an explicit DITHER_PIE_TPU_INDEX_TRANSFER=1 is user
+        # intent that must not be silently ignored — both of those take
+        # the index stream regardless of the mesh.
+        index_forced = (
+            os.environ.get("DITHER_PIE_TPU_INDEX_TRANSFER") == "1")
+        mesh_may_serve = _auto_mesh_enabled() and not planar
         if (len(palette_arr) <= 1024
                 and hasattr(strategy, "dither_batch_indices")
-                and not _auto_mesh_enabled()
+                and (index_forced or not mesh_may_serve)
                 and _linkspeed.index_transfer_wins()):
             from dither_pie_tpu.api.profiling import stage
 

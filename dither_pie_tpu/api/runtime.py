@@ -67,6 +67,19 @@ def _accelerator_responsive(timeout: float) -> bool:
     return ok
 
 
+def _downgrade_allowed(pinned: str, accel_required: bool) -> bool:
+    """May the wedge-probe downgrade this process to CPU?
+
+    Only when nothing forced a platform besides the remote accelerator
+    itself: the relay platform registers as ``axon``, an unset/empty pin
+    means "auto", and a pin to any OTHER platform (``tpu`` with a local
+    PJRT, ``cpu``, ...) is explicit user intent this policy must not
+    override. ``DITHER_PIE_TPU_ACCEL_REQUIRED=1`` means accelerator-or-
+    fail: never downgrade silently.
+    """
+    return not accel_required and (pinned or "") in ("", "axon")
+
+
 def _jax_backend_started() -> bool:
     """True once any XLA backend has been initialized in this process
     (at that point the platform choice is already committed)."""
@@ -91,17 +104,21 @@ def jax_platform() -> str:
 
     # Liveness-probe the accelerator before first in-process backend touch,
     # but only when (a) a remote-transport accelerator is configured (the
-    # hang mode is a remote-transport failure; local PJRT plugins fail fast),
-    # (b) the backend hasn't already been committed, and (c) nothing forced
-    # a platform besides the accelerator itself.
+    # hang mode is a remote-transport failure; local PJRT plugins fail
+    # fast), (b) the backend hasn't already been committed, and (c) the
+    # downgrade policy allows it (see _downgrade_allowed: explicit platform
+    # pins and DITHER_PIE_TPU_ACCEL_REQUIRED=1 both veto silent fallback).
     try:
         probe_timeout = float(
             os.environ.get("DITHER_PIE_TPU_ACCEL_PROBE_TIMEOUT", "240"))
     except ValueError:
         probe_timeout = 240.0
     remote_accel = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    accel_required = os.environ.get(
+        "DITHER_PIE_TPU_ACCEL_REQUIRED", "") == "1"
     if (probe_timeout > 0 and remote_accel and not _jax_backend_started()
-            and jax.config.jax_platforms != "cpu"):
+            and _downgrade_allowed(jax.config.jax_platforms,
+                                   accel_required)):
         if not _accelerator_responsive(probe_timeout):
             try:
                 jax.config.update("jax_platforms", "cpu")
@@ -112,6 +129,8 @@ def jax_platform() -> str:
         jax.devices()
         return jax.default_backend()
     except Exception:
+        if accel_required:
+            raise
         try:
             jax.config.update("jax_platforms", "cpu")
             jax.devices()

@@ -1012,6 +1012,42 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                 idx_rows = []
                 packed_rows = []
                 chosen_rows = [[], [], []]
+
+                def _tourney_reduce(val, pay, pay2, size):
+                    # Pairwise first-wins halving tree over (d2, payload):
+                    # strict < keeps the LOW half on ties, which with the
+                    # bit-reversed layout is first-wins-by-original-index.
+                    while size > 1:
+                        half = size // 2
+                        lt = val[half:size] < val[:half]
+                        val = jnp.where(lt, val[half:size], val[:half])
+                        pay = jnp.where(lt, pay[half:size], pay[:half])
+                        if pay2 is not None:
+                            pay2 = jnp.where(lt, pay2[half:size],
+                                             pay2[:half])
+                        size = half
+                    return pay, pay2
+
+                def _emit_tourney(pay, pay2):
+                    # pp <= 256: one payload carries (packed24 << 8) | orig
+                    # index; above that the index (when emitted) rides the
+                    # separate pay2 column.
+                    if pp <= 256:
+                        t24 = (pay >> 8) & 0xFFFFFF
+                        idxb = pay & 255
+                    else:
+                        t24 = pay
+                        idxb = (pay2 if pay2 is not None
+                                else jnp.zeros((1, lf), jnp.int32))
+                    packed_rows.append(t24)
+                    chosen_rows[0].append(
+                        ((t24 >> 16) & 255).astype(jnp.float32))
+                    chosen_rows[1].append(
+                        ((t24 >> 8) & 255).astype(jnp.float32))
+                    chosen_rows[2].append(
+                        (t24 & 255).astype(jnp.float32))
+                    idx_rows.append(idxb)
+
                 for b in range(nb):
                     if use_mxu:
                         # MXU score: argmax (c.x - |c|^2/2), one (pp, 8) @
@@ -1101,66 +1137,22 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                                     pays[q + hb] = None
                                     pay2s[q + hb] = None
                                 sz = hb
-                            val = vals[0]
-                            pay = pays[0]
-                            pay2 = pay2s[0] if need_o else None
-                            size = blk
-                            while size > 1:
-                                half = size // 2
-                                lt = val[half:size] < val[:half]
-                                val = jnp.where(lt, val[half:size],
-                                                val[:half])
-                                pay = jnp.where(lt, pay[half:size],
-                                                pay[:half])
-                                if pay2 is not None:
-                                    pay2 = jnp.where(lt, pay2[half:size],
-                                                     pay2[:half])
-                                size = half
-                            t24 = pay
-                            idxb = (pay2 if pay2 is not None
-                                    else jnp.zeros((1, lf), jnp.int32))
-                            packed_rows.append(t24)
-                            chosen_rows[0].append(
-                                ((t24 >> 16) & 255).astype(jnp.float32))
-                            chosen_rows[1].append(
-                                ((t24 >> 8) & 255).astype(jnp.float32))
-                            chosen_rows[2].append(
-                                (t24 & 255).astype(jnp.float32))
-                            idx_rows.append(idxb)
+                            pay, pay2 = _tourney_reduce(
+                                vals[0], pays[0],
+                                pay2s[0] if need_o else None, blk)
+                            _emit_tourney(pay, pay2)
                             continue
                         d2 = _d2_rows(0, pp)
                         if tourney:
-                            val = d2
-                            pay = jnp.broadcast_to(pal_pay, (pp, lf))
-                            pay2 = (jnp.broadcast_to(orig_col, (pp, lf))
-                                    if emit_idx and pp > 256 else None)
-                            size = pp
-                            while size > 1:
-                                half = size // 2
-                                lt = val[half:size] < val[:half]
-                                val = jnp.where(lt, val[half:size],
-                                                val[:half])
-                                pay = jnp.where(lt, pay[half:size],
-                                                pay[:half])
-                                if pay2 is not None:
-                                    pay2 = jnp.where(lt, pay2[half:size],
-                                                     pay2[:half])
-                                size = half
-                            if pp <= 256:
-                                t24 = (pay >> 8) & 0xFFFFFF
-                                idxb = pay & 255
-                            else:
-                                t24 = pay
-                                idxb = (pay2 if pay2 is not None
-                                        else jnp.zeros((1, lf), jnp.int32))
-                            packed_rows.append(t24)
-                            chosen_rows[0].append(
-                                ((t24 >> 16) & 255).astype(jnp.float32))
-                            chosen_rows[1].append(
-                                ((t24 >> 8) & 255).astype(jnp.float32))
-                            chosen_rows[2].append(
-                                (t24 & 255).astype(jnp.float32))
-                            idx_rows.append(idxb)
+                            # Flat tournament: this branch only runs for
+                            # pp <= _TOURNEY_BLK (larger palettes took the
+                            # blocked form above), so the packed payload
+                            # always carries the original index — no pay2
+                            # column.
+                            pay, _ = _tourney_reduce(
+                                d2, jnp.broadcast_to(pal_pay, (pp, lf)),
+                                None, pp)
+                            _emit_tourney(pay, None)
                             continue
                         dmin = jnp.min(d2, axis=0, keepdims=True)
                         idxb = jnp.min(jnp.where(d2 == dmin, p_iota, pp),

@@ -102,6 +102,20 @@ class TestConfig:
             load_config(p)
         assert not caplog.records
 
+    def test_comment_keys_do_not_warn(self, tmp_path, tmp_image, caplog):
+        # Underscore-prefixed keys are the comment convention every shipped
+        # example uses ("_comment"); warning on them would train users to
+        # ignore the typo warning.
+        p = _write_config(tmp_path, {
+            "_comment": "annotation", "input": "in.png", "output": "o.png",
+            "dithering": {"_note": "inner annotation", "enabled": True,
+                          "mode": "bayer", "parameters": {}},
+        })
+        import logging
+        with caplog.at_level(logging.WARNING, logger="dither_pie_tpu.api.config"):
+            load_config(p)
+        assert not caplog.records
+
     def test_detect_mode(self, tmp_path, tmp_image):
         assert detect_mode(tmp_image) == "image"
         assert detect_mode(tmp_path) == "folder"

@@ -35,8 +35,13 @@ def main():
         t0 = time.time()
         out_dev = riemersma_scan_batch(imgs.copy(), pal)  # compile + run
         compile_s = time.time() - t0
+        # Salt the timed dispatch (one pixel): the relay dedupes
+        # byte-identical dispatches and would time its cache, not the
+        # kernel. Identity below uses the warm-up output.
+        salted = imgs.copy()
+        salted[0, 0, 0, 0] = np.float32((salted[0, 0, 0, 0] + 1.0) % 256.0)
         t0 = time.time()
-        out_dev = riemersma_scan_batch(imgs.copy(), pal)
+        _ = riemersma_scan_batch(salted, pal)
         dev_s = time.time() - t0
 
         t0 = time.time()
