@@ -1105,19 +1105,29 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                             # the (pp, lf) broadcast never materializes.
                             blk = _TOURNEY_BLK
                             nblk = pp // blk
-                            need_o = emit_idx  # pp > 256 in this branch
+                            # When emitting indices (the u16 index stream
+                            # for 257-1024-color palettes) the payload is
+                            # the ORIGINAL INDEX alone — two live columns
+                            # instead of three. Carrying color AND index
+                            # overwhelmed the register allocator at
+                            # 720p/pal512 (194 MB of spill slots -> VMEM
+                            # OOM at compile); the color is recovered
+                            # after the reduction by an O(log pp) halving
+                            # tree over the bit-reverse-STORED packed
+                            # palette: stored bit (nbits-1-k) is original
+                            # bit k, so the walk consumes the winning
+                            # index's bits LSB-first. Tie semantics are
+                            # untouched (same lt comparisons, payload
+                            # values equal the old pay2 column).
+                            pay_src = orig_col if emit_idx else pal_pay
                             vals = [None] * nblk
                             pays = [None] * nblk
-                            pay2s = [None] * nblk
 
                             def _ensure(q):
                                 if vals[q] is None:
                                     vals[q] = _d2_rows(q * blk,
                                                        (q + 1) * blk)
-                                    pays[q] = pal_pay[q * blk:(q + 1) * blk]
-                                    if need_o:
-                                        pay2s[q] = orig_col[
-                                            q * blk:(q + 1) * blk]
+                                    pays[q] = pay_src[q * blk:(q + 1) * blk]
 
                             sz = nblk
                             while sz > 1:
@@ -1130,17 +1140,24 @@ def _build_kernel_packed(mode: str, variant: str, s: int, n_slots: int,
                                         lt, vals[q + hb], vals[q])
                                     pays[q] = jnp.where(
                                         lt, pays[q + hb], pays[q])
-                                    if need_o:
-                                        pay2s[q] = jnp.where(
-                                            lt, pay2s[q + hb], pay2s[q])
                                     vals[q + hb] = None
                                     pays[q + hb] = None
-                                    pay2s[q + hb] = None
                                 sz = hb
-                            pay, pay2 = _tourney_reduce(
-                                vals[0], pays[0],
-                                pay2s[0] if need_o else None, blk)
-                            _emit_tourney(pay, pay2)
+                            pay, _ = _tourney_reduce(
+                                vals[0], pays[0], None, blk)
+                            if emit_idx:
+                                idxb = pay  # (1, lf) original index
+                                t = pal_packed  # (pp, 1), bitrev-stored
+                                sz_t = pp
+                                for k in range(pp.bit_length() - 1):
+                                    half = sz_t // 2
+                                    cond = ((idxb >> k) & 1) == 1
+                                    t = jnp.where(cond, t[half:sz_t],
+                                                  t[:half])
+                                    sz_t = half
+                                _emit_tourney(t, idxb)
+                            else:
+                                _emit_tourney(pay, None)
                             continue
                         d2 = _d2_rows(0, pp)
                         if tourney:
