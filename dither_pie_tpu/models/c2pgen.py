@@ -186,13 +186,11 @@ def c2pgen_forward(p: Params, clipart: jnp.ndarray,
         feature = rgb_encoder(p, "RGBEnc", clipart)
         if adain is None:
             adain = style_adain(p, reference, s, precision=precision)
-        if adain.shape[0] == 1 and feature.shape[0] > 1:
-            # One style reference serves the whole frame batch (the
-            # reference model always uses a single reference.png): compute
-            # the PBEnc/MLP path once and broadcast the 2048-d code over
-            # the batch.
-            adain = jnp.broadcast_to(adain,
-                                     (feature.shape[0], adain.shape[1]))
+        # One style reference serves the whole frame batch (the reference
+        # model always uses a single reference.png): the (1, 2048) code is
+        # passed through UNBROADCAST — modulated_conv recognizes the
+        # shared-style shape and runs one dense batch-B conv instead of B
+        # per-sample convs.
         return rgb_decoder(p, "RGBDec", feature,
                            adain).astype(jnp.float32)
 

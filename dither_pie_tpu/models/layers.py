@@ -164,8 +164,13 @@ def modulated_conv(p: Params, key: str, x: jnp.ndarray,
                    code: jnp.ndarray) -> jnp.ndarray:
     """StyleGAN2-style modulated conv (reference ModulationConvBlock).
 
-    x: (B, H, W, Cin); code: (B, Cin). Weight stored as (k, k, Cin, Cout)
-    (the reference's raw-buffer view). Per-sample conv via vmap.
+    x: (B, H, W, Cin); code: (B, Cin) — or (1, Cin) with B > 1, the
+    shared-style case (the product always styles from ONE reference.png,
+    c2pGen.py:242-258): then the modulated weight is identical for every
+    sample and ONE dense batch-B conv replaces the B per-sample convs
+    (same arithmetic, MXU-batched instead of group-lowered). Weight stored
+    as (k, k, Cin, Cout) (the reference's raw-buffer view); per-sample
+    codes keep the vmap path.
     """
     w = p[f"{key}.weight"]  # (k, k, in, out)
     bias = p[f"{key}.bias"]
@@ -183,12 +188,18 @@ def modulated_conv(p: Params, key: str, x: jnp.ndarray,
     if _act_fast():
         x, wm = x.astype(jnp.bfloat16), wm.astype(jnp.bfloat16)
 
-    def one(xb, wb):
-        xb = jnp.pad(xb[None], ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        return jax.lax.conv_general_dilated(
-            xb, wb, (1, 1), "VALID", dimension_numbers=_DN)[0]
+    if wm.shape[0] == 1 and x.shape[0] > 1:
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        out = jax.lax.conv_general_dilated(
+            xp, wm[0], (1, 1), "VALID", dimension_numbers=_DN)
+    else:
+        def one(xb, wb):
+            xb = jnp.pad(xb[None],
+                         ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            return jax.lax.conv_general_dilated(
+                xb, wb, (1, 1), "VALID", dimension_numbers=_DN)[0]
 
-    out = jax.vmap(one)(x, wm)
+        out = jax.vmap(one)(x, wm)
     out = out + bias.astype(out.dtype)
     return jax.nn.leaky_relu(out, 0.2) * jnp.asarray(math.sqrt(2.0),
                                                      out.dtype)

@@ -154,6 +154,24 @@ def test_batched_forward_equals_per_frame(reference_models, inputs):
         np.testing.assert_allclose(batched[i:i + 1], single, atol=1e-5)
 
 
+def test_modulated_conv_shared_style_equals_vmap():
+    """A (1, Cin) code with B > 1 takes the one-dense-conv fast path; it
+    must equal the per-sample vmap path fed the replicated code."""
+    from dither_pie_tpu.models.layers import modulated_conv
+
+    rng = np.random.RandomState(11)
+    cin, cout, b = 16, 12, 4
+    p = {"m.weight": jnp.asarray(rng.randn(3, 3, cin, cout)
+                                 .astype(np.float32)),
+         "m.bias": jnp.asarray(rng.randn(cout).astype(np.float32))}
+    x = jnp.asarray(rng.randn(b, 8, 8, cin).astype(np.float32))
+    code1 = jnp.asarray(rng.rand(1, cin).astype(np.float32) + 0.5)
+    shared = np.asarray(modulated_conv(p, "m", x, code1))
+    replicated = np.asarray(
+        modulated_conv(p, "m", x, jnp.broadcast_to(code1, (b, cin))))
+    np.testing.assert_allclose(shared, replicated, atol=1e-5)
+
+
 def test_full_pipeline_shapes(reference_models, inputs):
     """alias(c2pgen(x)) through the JAX port keeps shape and [-1,1] range."""
     gen, alias = reference_models

@@ -13,9 +13,19 @@ stages (2026-08-18, v5e, batch 8 @ 512x912):
 i.e. cost is spread uniformly (~17-33 TF/s per stage) rather than
 concentrated in the vmapped modulated convs, which motivated the
 bf16-activations fast mode (models/layers.bf16_activations) over a
-grouped-conv rewrite. Direct per-op microbenches are NOT reliable through
-the dev relay (it dedupes byte-identical dispatches and jax caches host
-values); stage-level programs with large live outputs are.
+grouped-conv rewrite.
+
+2026-08-19 follow-up (same shapes): the "(shared style)" rows feed the
+PRODUCT code shape — (1, 2048), one reference.png styling the whole batch
+— which modulated_conv now serves with ONE dense batch-B conv instead of
+B vmapped per-sample convs. Measured on the v5e:
+
+    bf16: mod-convs 128 -> 39 ms (3.3x), FULL fwd 338 -> 250 ms (1.35x)
+    f32:  mod-convs 611 -> 95 ms (6.5x), FULL fwd 1749 -> 1227 ms (1.43x)
+
+Direct per-op microbenches are NOT reliable through the dev relay (it
+dedupes byte-identical dispatches and jax caches host values);
+stage-level programs with large live outputs are.
 
 Run on a TPU host:  python tools/neural_stage_profile.py [B H W]
 """
@@ -99,9 +109,14 @@ def main():
 
         timed("rgb_encoder (full->256)", enc, x)
         timed("mod-conv section (8x)", modsec, feat, code)
+        # Shared-style rows: a (1, 2048) code is the PRODUCT shape (one
+        # reference.png styles the whole batch) — modulated_conv then runs
+        # one dense batch-B conv instead of B vmapped per-sample convs.
+        timed("mod-conv 8x (shared style)", modsec, feat, code[:1])
         timed("rgb_decoder (mod+up)", dec, feat, code)
         timed("aliasnet", alias_fn, x)
         timed("FULL fwd (gen+alias)", fullfwd, x, code)
+        timed("FULL fwd (shared style)", fullfwd, x, code[:1])
 
 
 if __name__ == "__main__":
