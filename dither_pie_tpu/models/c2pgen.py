@@ -211,7 +211,8 @@ def aliasnet_forward(p: Params, x: jnp.ndarray,
         return _aliasnet_body(p, x).astype(jnp.float32)
 
 
-def _aliasnet_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+def _aliasnet_trunk(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Everything up to (not including) the final 7x7 tanh conv."""
     x = conv_block(p, "RGBEnc.model.0", x, 1, 3, "in", "relu", "reflect")
     x = conv_block(p, "RGBEnc.model.1", x, 2, 1, "in", "relu", "reflect")
     x = conv_block(p, "RGBEnc.model.2", x, 2, 1, "in", "relu", "reflect")
@@ -220,5 +221,27 @@ def _aliasnet_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     x = upsample_nearest_2x(x)
     x = conv_block(p, "RGBDec.conv_1", x, 1, 2, "ln", "relu", "reflect")
     x = upsample_nearest_2x(x)
-    x = conv_block(p, "RGBDec.conv_2", x, 1, 2, "ln", "relu", "reflect")
+    return conv_block(p, "RGBDec.conv_2", x, 1, 2, "ln", "relu", "reflect")
+
+
+def _aliasnet_body(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    x = _aliasnet_trunk(p, x)
     return conv_block(p, "RGBDec.conv_3", x, 1, 3, "none", "tanh", "reflect")
+
+
+def _aliasnet_body_ds4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Aliasnet evaluated only at the DS4 sample grid: identical trunk,
+    but the final 7x7 conv runs with window_strides=(4,4) on the
+    reflect-padded input cropped by (2, 2) — output row m is the window
+    starting at padded row 2+4m, i.e. exactly ``dense_out[2::4, 2::4]``
+    (the only pixels the 4x4-block-constant product image ever uses).
+    Same per-window arithmetic, 16x fewer windows; bitwise equality vs
+    slice-after-dense is verified on hardware by tools/ds4_stride_probe.py
+    and gated per-process before the inference path uses it."""
+    x = _aliasnet_trunk(p, x)
+    from dither_pie_tpu.models.layers import conv2d, pad2d
+
+    xp = pad2d(x, 3, "reflect")[:, 2:, 2:, :]
+    out = conv2d(xp, p["RGBDec.conv_3.conv.weight"],
+                 p["RGBDec.conv_3.conv.bias"], stride=4)
+    return jnp.tanh(out)
