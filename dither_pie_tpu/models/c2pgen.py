@@ -235,12 +235,13 @@ def _aliasnet_body_ds4(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     reflect-padded input cropped by (2, 2) — output row m is the window
     starting at padded row 2+4m, i.e. exactly ``dense_out[2::4, 2::4]``
     (the only pixels the 4x4-block-constant product image ever uses).
-    Same per-window arithmetic, 16x fewer windows; bitwise equality vs
-    slice-after-dense is verified on hardware by tools/ds4_stride_probe.py
-    and gated per-process before the inference path uses it."""
+    Same per-window arithmetic, 16x fewer windows. Whether the strided
+    lowering is BIT-identical to slice-after-dense is a toolchain
+    property; tools/ds4_stride_probe.py decides it on hardware (exits
+    nonzero on mismatch) and the inference path only enables this conv
+    behind its own first-batch runtime gate (see
+    models/inference.py:_gated_batch_forward's ds4_stride gate)."""
     x = _aliasnet_trunk(p, x)
-    from dither_pie_tpu.models.layers import conv2d, pad2d
-
     xp = pad2d(x, 3, "reflect")[:, 2:, 2:, :]
     out = conv2d(xp, p["RGBDec.conv_3.conv.weight"],
                  p["RGBDec.conv_3.conv.bias"], stride=4)

@@ -18,7 +18,8 @@ same number of sequential steps as one frame — the key to video throughput.
 
 Variants are compile-time specializations of one kernel builder:
   * the 8 fixed-weight kernels (weights baked in),
-  * Ostromoukhov (256-entry coefficient LUT applied via one-hot matmul),
+  * Ostromoukhov (256-entry coefficient LUT via a halving-tree bit walk in
+    the packed kernel; one-hot matmul in the v1 fallback),
   * hybrid (3x3 luma/chroma error projection),
   * perceptual (per-source-pixel sensitivity scaling, streamed alongside),
   * adaptive-variance (per-pixel gate, streamed alongside).
@@ -554,8 +555,9 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     ffmpeg-gbrp ingestion layout) and the output stays planar — no XLA
     copy on either side of the kernels. Packed-kernel path only.
 
-    ``return_indices=True`` (palette <= 256, packed path): returns
-    (B, H, W) uint8 palette INDICES — a third of the device->host bytes;
+    ``return_indices=True`` (palette <= PACKED_PALETTE_MAX, packed path):
+    returns (B, H, W) palette INDICES — uint8 for palettes <= 256 colors,
+    uint16 above (1/3 or 2/3 of the device->host bytes);
     ``palette.astype(uint8)[idx]`` reproduces the color output exactly."""
     if return_indices and palette.shape[0] > PACKED_PALETTE_MAX:
         raise ValueError("return_indices requires a palette <= "
@@ -598,14 +600,15 @@ def _run(mode: str, images: np.ndarray, palette: np.ndarray, variant: str = "",
     if palette.shape[0] <= PACKED_PALETTE_MAX:
         # Packed-layout kernel: full sublane tiles, verified bit-identical
         # to the native golden engine on hardware. Covers every mode
-        # (ostromoukhov via the halving-tree LUT) and palettes to 1024
-        # colors (running-min search to 64, lane-form + halving-tree above;
-        # the packed-color epilogue is palette-size-independent either
-        # way). Batches below 8 are padded up (Mosaic rejects sub-tile
-        # sublane register casts below 8 rows, and the padded lanes are
-        # free); oversized batches are split so the per-entry error scratch
-        # stays inside the VMEM budget. v1 remains only for >1024-color
-        # palettes.
+        # (ostromoukhov via the halving-tree LUT) and palettes to
+        # PACKED_PALETTE_MAX=1024 colors (running-min search to 64 colors;
+        # blocked pairwise tournament over _TOURNEY_BLK-row d2 tiles above,
+        # with the halving-tree color/index extraction fused into the
+        # reduction). Batches below 8 are padded up (Mosaic rejects
+        # sub-tile sublane register casts below 8 rows, and the padded
+        # lanes are free); oversized batches are split so the per-entry
+        # error scratch stays inside the VMEM budget. v1 remains only for
+        # >PACKED_PALETTE_MAX-color palettes.
         b, h, w, _ = images.shape
         nb_max = _max_packed_batch(mode, variant, h, w, palette.shape[0])
         if b > nb_max:
@@ -747,12 +750,13 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
     own frames; no cross-chip collectives are needed in steady state).
 
     Dispatches to the packed v2 kernel (batch in sublanes; running-min
-    palette search to 64 colors, v1-form lane search to 256; ostromoukhov
-    via the halving-tree LUT — the hardware-bit-verified paths) with the
-    same eligibility rule as ``_run``: sub-8 batches padded up (padded
-    sublanes are free), v1 only for >256-color palettes. Raises when the
-    batch exceeds the packed VMEM budget (callers under shard_map own the
-    batch size; split it instead).
+    palette search to 64 colors, blocked pairwise tournament up to
+    PACKED_PALETTE_MAX=1024; ostromoukhov via the halving-tree LUT — the
+    hardware-bit-verified paths) with the same eligibility rule as
+    ``_run``: sub-8 batches padded up (padded sublanes are free), v1 only
+    for >PACKED_PALETTE_MAX-color palettes. Raises when the batch exceeds
+    the packed VMEM budget (callers under shard_map own the batch size;
+    split it instead).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -873,7 +877,9 @@ def wavefront_device_fn(mode: str, variant: str, h: int, w: int, p: int,
 # are the frame's row index — so every elementwise op runs on full (8, 128)
 # tiles (~2.5x VPU utilization at B >= 8) and row-shift rolls stay a pure
 # lane shift. The palette search is a running min (fused-ordered style) up
-# to 64 colors and the v1-form per-batch-row lane search to 256 colors;
+# to 64 colors and a blocked pairwise tournament (_TOURNEY_BLK-row d2
+# tiles, halving-tree color/index extraction fused into the reduction) up
+# to PACKED_PALETTE_MAX colors;
 # Ostromoukhov's per-pixel weights come from a halving-tree walk of the
 # k-major LUT (8 bit-selected slice/roll rounds — cheaper than the v1
 # one-hot and exact: it only ever SELECTS the same pre-divided f32

@@ -234,6 +234,31 @@ def test_ds4_batch_path_bit_identical(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_ds4_strided_conv_matches_dense_slice():
+    """_aliasnet_body_ds4 (stride-4 final conv on the crop-(2,2) reflect
+    pad) must equal _aliasnet_body(...)[:, 2::4, 2::4, :] — the index math
+    (pad 3 reflect, crop [2:, 2:], stride 4 == dense[2::4, 2::4]) is the
+    whole point of the strided path, so pin it on CPU at several sizes.
+    Bitwise equality is a toolchain property (XLA:CPU contracts FMAs);
+    tools/ds4_stride_probe.py decides THAT on hardware — here we pin the
+    geometry with a tight allclose plus exact shape equality."""
+    import jax.numpy as jnp
+
+    from dither_pie_tpu.models.c2pgen import (_aliasnet_body,
+                                              _aliasnet_body_ds4)
+    from dither_pie_tpu.models.param_shapes import random_params
+
+    _, ap = random_params(7)
+    ap = {k: jnp.asarray(v) for k, v in ap.items()}
+    rng = np.random.RandomState(5)
+    for b, h, w in ((1, 32, 48), (2, 24, 40), (1, 64, 36)):
+        x = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 3)).astype(np.float32))
+        dense = np.asarray(_aliasnet_body(ap, x))[:, 2::4, 2::4, :]
+        strided = np.asarray(_aliasnet_body_ds4(ap, x))
+        assert strided.shape == dense.shape
+        np.testing.assert_allclose(strided, dense, rtol=0, atol=1e-5)
+
+
 def test_u8_input_normalization_within_ulp():
     """Device-side u8 normalization tracks host process() to 1 ulp for
     every possible u8 value (XLA rewrites /255 into a reciprocal multiply;

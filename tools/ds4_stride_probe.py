@@ -53,6 +53,7 @@ def main():
     # --identity-only skips the chained timing programs (each is a large
     # extra compile; the identity question is the gate, timing the bonus).
     identity_only = "--identity-only" in sys.argv
+    worst_ident = 1.0
     for prec in ("float32", "bfloat16"):
         fast = prec == "bfloat16"
 
@@ -71,6 +72,7 @@ def main():
         b = np.asarray(strided(ap, x))
         ident = float(np.mean(a == b))
         max_err = float(np.max(np.abs(a - b)))
+        worst_ident = min(worst_ident, ident)
         print(f"[{prec}] bitwise identity {ident:.6f}  max|err| {max_err:.3e}",
               flush=True)
         if identity_only or prec == "float32":
@@ -99,6 +101,14 @@ def main():
             per = (t3 - t1) / 2
             print(f"[{prec}] alias {name}: {per*1000:.1f} ms/batch "
                   f"({B/per:.1f} fps)")
+
+    # Gate semantics: nonzero exit on ANY bitwise mismatch, so CI / shell
+    # recipes can use this probe directly as a go/no-go check.
+    if worst_ident < 1.0:
+        print(f"FAIL: strided conv is not bit-identical "
+              f"(worst identity {worst_ident:.6f})", flush=True)
+        sys.exit(1)
+    print("OK: strided conv bit-identical in all tested modes", flush=True)
 
 
 def _t(f, *a):
