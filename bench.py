@@ -21,6 +21,16 @@ per-dispatch latency and host-link bandwidth (~40 MB/s in, ~1 MB/s out) are
 artifacts of the tunnel, not the chip. End-to-end numbers (configs 4, 5) are
 honest wall clock INCLUDING that tunnel transfer and are labeled with the
 measured link bandwidth so they can be read against production host links.
+
+Survivability (the r04 driver capture timed out with no JSON record):
+  * the headline JSON line is emitted right after config 2 (marked
+    ``"partial": true``) and re-emitted enriched at the end — a killed run
+    still leaves a parseable record;
+  * BENCH_TIME_BUDGET_S (default 1080) stops STARTING new budgeted configs
+    once exceeded; configs 1+2 and the fidelity gate are exempt, and the
+    slow dense-palette cells (2b-512 / 2b-1024 / 2b-mxu) run last;
+  * per-config wall times land in details.config_times_s so the budget can
+    be resized from any capture.
 """
 
 import json
@@ -60,6 +70,7 @@ def synth_image(h, w, seed=0):
 LEDGER_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_ledger.jsonl")
 LEDGER_KEYS = (
+    "latency_512_bayer8x8_ms",
     "fs_1080p_kmeans32_fps_e2e_device",
     "fs_1080p_pal256_fps_e2e_device",
     "fs_1080p_planar_fps_e2e_device",
@@ -163,15 +174,40 @@ def main():
 
     # BENCH_CONFIGS="4,5" reruns only the named configs (development /
     # methodology validation; the driver runs everything). Standalone:
-    # 1, 2, 3, A, link, 4, 4b, 5, 6, fidelity. 2b/2bm and 2p reuse config
-    # 2's buffers -- include "2" when selecting them.
+    # 1, 2, 3, A, link, 4, 4b, 5, 6, fidelity, dense. 2b/2bm and 2p reuse
+    # config 2's buffers -- include "2" when selecting them.
     only = os.environ.get("BENCH_CONFIGS")
+
+    # Wall-clock budget (VERDICT r04 #1): the r04 driver capture timed out
+    # (rc=124, no JSON emitted) after the slow dense cells ran mid-stream.
+    # Once ``budget_s`` is exceeded no NEW budgeted config starts; whatever
+    # already ran still gets its fidelity gate, ledger deltas, and the
+    # final JSON line. Configs 1+2 and the fidelity gate are exempt (the
+    # headline must exist); the slow dense-palette cells run LAST.
+    budget_s = float(os.environ.get("BENCH_TIME_BUDGET_S", "1080"))
+    t_start = time.time()
+    budget_skipped = []
+    cfg_times = {}
+    _last_cfg = {"name": None, "t": t_start}
 
     class _SkipBench(Exception):
         pass
 
-    def _gate(name: str):
+    def _gate(name: str, budget: bool = True):
+        # Attribute elapsed time to the previous config (approximate but
+        # zero-instrumentation: each _gate call closes the prior section).
+        now = time.time()
+        if _last_cfg["name"] is not None:
+            cfg_times[_last_cfg["name"]] = round(
+                cfg_times.get(_last_cfg["name"], 0.0)
+                + now - _last_cfg["t"], 1)
+        _last_cfg["name"], _last_cfg["t"] = name, now
         if only is not None and name not in only.split(","):
+            raise _SkipBench()
+        if budget and now - t_start > budget_s:
+            budget_skipped.append(name)
+            log(f"budget: skipping config {name} "
+                f"({now - t_start:.0f}s elapsed > {budget_s:.0f}s budget)")
             raise _SkipBench()
     H, W = (96, 128) if small else (1080, 1920)
     mpix = H * W / 1e6
@@ -210,8 +246,10 @@ def main():
 
     # ---- Config 1: single 512x512 Bayer 8x8 -> 16 colors, LATENCY ---------
     try:
-        _gate("1")
+        _gate("1", budget=False)
         import itertools
+
+        from jax import lax
 
         hs, ws = (64, 64) if small else (512, 512)
         # Distinct input per repeat: the dev relay dedupes byte-identical
@@ -224,25 +262,50 @@ def main():
                  for i in range(14)]
         screen1 = tile_screen_device(jnp.asarray(bayer_matrix("8x8")), hs, ws)
 
+        # lax.fori_loop chain (VERDICT r04 #2): the old 64-step UNROLLED
+        # chain put a ~0.65 ms total differential against the relay's
+        # multi-ms per-dispatch jitter — that methodology noise is the
+        # whole 0.0104 -> 0.046 ms r03->r04 move. The carried xor makes
+        # every iteration data-dependent (no CSE/dedup), the loop body
+        # compiles ONCE (so k can be 256 without a Mosaic unroll blowup),
+        # and the 256-step differential (~3-12 ms) sits well above the
+        # jitter floor. The ledger now tracks this key round-over-round.
+        K1 = 16 if small else 256
+
         def single_many(k):
             @jax.jit
             def f(img, palette, screen):
-                out = img
-                for i in range(k):
-                    out = ordered_dither_fused(
-                        jnp.bitwise_xor(out, jnp.uint8(i + 1)), palette,
-                        screen, interpret=cpu, bucket=False)
-                return out
+                def body(i, out):
+                    return ordered_dither_fused(
+                        jnp.bitwise_xor(out, (i + 1).astype(jnp.uint8)),
+                        palette, screen, interpret=cpu, bucket=False)
+                return lax.fori_loop(0, k, body, img)
             pool = itertools.cycle(imgs1)
             return lambda: f(next(pool), palette16, screen1)
 
-        # Long chain: the per-image latency (~0.03-0.3 ms) is far below the
-        # relay's per-dispatch noise, so accumulate 64 executions (longer
-        # chains explode Mosaic compile time through the dev tunnel);
-        # timed_pair medians 3 differential rounds.
-        per1 = timed_pair(single_many(1), single_many(64), 64)
+        f1, fk = single_many(1), single_many(K1)
+        _ = np.asarray(f1()); _ = np.asarray(fk())  # compile
+
+        def med1(f, n=5):
+            ts = []
+            for _ in range(n):
+                t0 = time.time()
+                _ = np.asarray(f())
+                ts.append(time.time() - t0)
+            return sorted(ts)[n // 2]
+
+        rounds1 = [max((med1(fk) - med1(f1)) / (K1 - 1), 1e-9)
+                   for _ in range(5)]
+        per1 = float(np.median(rounds1))
         details["latency_512_bayer8x8_ms"] = round(per1 * 1000, 4)
-        log(f"1: 512^2 bayer latency {per1*1e3:.3f} ms/image")
+        details["latency_512_bayer8x8_ms_spread"] = [
+            round(min(rounds1) * 1000, 4), round(max(rounds1) * 1000, 4)]
+        details["latency_512_method"] = (
+            f"fori_loop {K1}-chain differential, median of 5 rounds of "
+            "median-of-5 timings; r04's 0.046 vs r03's 0.0104 ms was relay "
+            "jitter on the old 64-unroll's sub-ms differential")
+        log(f"1: 512^2 bayer latency {per1*1e3:.4f} ms/image "
+            f"(spread {details['latency_512_bayer8x8_ms_spread']})")
     except _SkipBench:
         pass
     except Exception as e:
@@ -251,8 +314,27 @@ def main():
     # ---- Config 2 (headline): 1080p FS, k-means 32-color palette, FULL
     # device path (skew + scan + unskew + take) ------------------------------
     fs_fps = 0.0
+
+    def emit_result(partial: bool = False):
+        """Print the headline JSON line. Called TWICE: right after config 2
+        (so a driver-side timeout still captures a parseable record — the
+        r04 run died with parsed=null) and again, enriched, at the end.
+        The driver parses the LAST JSON line, so the final emission wins
+        when the run completes."""
+        d = dict(details)
+        if partial:
+            d["partial"] = True
+        print(json.dumps({
+            "metric": "1080p Floyd-Steinberg dither throughput "
+                      "(full device path, k-means-32 palette)",
+            "value": round(fs_fps, 1),
+            "unit": "fps",
+            "vs_baseline": round(fs_fps / 300.0, 3),
+            "details": d,
+        }), flush=True)
+
     try:
-        _gate("2")
+        _gate("2", budget=False)
         from dither_pie_tpu.api.ditherer import ColorReducer
         from dither_pie_tpu.ops import wavefront as wf
         from PIL import Image
@@ -303,9 +385,15 @@ def main():
     except Exception as e:
         errors["config2"] = repr(e)
 
+    # Early emission: a parseable record exists from here on even if the
+    # driver's window expires mid-run (VERDICT r04 #1).
+    emit_result(partial=True)
+
     # Config 2b: 256-color palette through the packed lane-search kernel
     # (the reference supports arbitrary custom palettes; lospec palettes
     # routinely exceed 64 colors). Same chain harness, same frames.
+    pal256_dev = fn256 = None
+    per2b = None
     try:
         _gate("2b")
         prng = np.random.RandomState(42)
@@ -332,73 +420,13 @@ def main():
         details["fs_1080p_pal256_fps_e2e_device"] = round(B_B / per2b, 1)
         log(f"2b: FS 1080p 256-color palette {per2b*1e3:.1f} ms/batch{B_B} "
             f"-> {B_B / per2b:.0f} fps")
-
-        # P=512 / P=1024 rows (identity coverage for these exists in
-        # tools/identity_sweep.py; the packed kernel serves up to 1024):
-        # the lane search is O(P), so these document the scaling honestly.
-        for pn in (512, 1024):
-            paln = np.unique(prng.randint(0, 256, (pn * 3, 3)),
-                             axis=0)[:pn].astype(np.float32)
-            paln_dev = jnp.asarray(paln)
-            fnn = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
-                                         int(paln.shape[0]), B_B,
-                                         interpret=cpu)
-
-            def fsn_many(k, fnn=fnn, paln_dev=paln_dev):
-                @jax.jit
-                def f(pal, *frames_list):
-                    acc = jnp.float32(0)
-                    for i in range(k):
-                        out = fnn(frames_list[i],
-                                  pal.at[0, 0].set(acc + jnp.float32(i % 3)))
-                        acc = (jnp.sum(out.astype(jnp.int32))
-                               .astype(jnp.float32) * jnp.float32(1e-12))
-                    return acc
-                return lambda: f(paln_dev, *fs_bufs[:k])
-
-            pern = timed_pair(fsn_many(1), fsn_many(3), 3)
-            details[f"fs_1080p_pal{pn}_fps_e2e_device"] = round(B_B / pern, 1)
-            log(f"2b-{pn}: FS 1080p {pn}-color palette "
-                f"{pern*1e3:.1f} ms/batch{B_B} -> {B_B / pern:.0f} fps")
-
-        # 2b-mxu: the MXU-scored dense search (opt-in knob). Same chain
-        # harness; also record the pick-flip fraction vs the exact kernel
-        # (device-side compare, one scalar off the chip).
-        fn256m = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
-                                        int(pal256.shape[0]), B_B,
-                                        interpret=cpu, dense_search="mxu")
-
-        def fs256m_many(k):
-            @jax.jit
-            def f(pal, *frames_list):
-                acc = jnp.float32(0)
-                for i in range(k):
-                    out = fn256m(frames_list[i],
-                                 pal.at[0, 0].set(acc + jnp.float32(i % 3)))
-                    acc = (jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
-                           * jnp.float32(1e-12))
-                return acc
-            return lambda: f(pal256_dev, *fs_bufs[:k])
-
-        per2bm = timed_pair(fs256m_many(1), fs256m_many(3), 3)
-        details["fs_1080p_pal256_mxu_fps_e2e_device"] = round(B_B / per2bm, 1)
-
-        @jax.jit
-        def flipfrac(pal, frames):
-            a = fn256(frames, pal)
-            m = fn256m(frames, pal)
-            return jnp.mean(jnp.any(a != m, axis=-1).astype(jnp.float32))
-
-        details["fs_1080p_pal256_mxu_flip_fraction"] = round(
-            float(flipfrac(pal256_dev, fs_bufs[0])), 6)
-        log(f"2bm: FS 1080p 256-color MXU search {per2bm*1e3:.1f} ms/batch"
-            f"{B_B} -> {B_B / per2bm:.0f} fps "
-            f"({per2b / per2bm:.2f}x exact; flip fraction "
-            f"{details['fs_1080p_pal256_mxu_flip_fraction']})")
     except _SkipBench:
         pass
     except Exception as e:
         errors["config2b"] = repr(e)
+    # (The slow dense cells — 2b-512, 2b-1024, 2b-mxu — run LAST, behind
+    # the time budget: they are what pushed the r04 driver capture past
+    # its window. See the "dense" section after the fidelity gate.)
 
     # Config 2p: planar-in/planar-out device path (the ffmpeg-gbrp
     # ingestion layout): the NHWC<->planar copies around the kernels
@@ -844,7 +872,7 @@ def main():
 
     # ---- On-chip fidelity spot-check vs the C++ golden engine -------------
     try:
-        _gate("fidelity")
+        _gate("fidelity", budget=False)
         from dither_pie_tpu.ops import ed_host
         from dither_pie_tpu.ops import wavefront as wf
         from dither_pie_tpu.core.fidelity import identity_fraction
@@ -909,6 +937,94 @@ def main():
     except Exception as e:
         errors["fidelity"] = repr(e)
 
+    # ---- Dense-palette scaling cells (slow; budget-gated, LAST) -----------
+    # P=512/1024 rows + the MXU-search A/B: each needs fresh chained-program
+    # compiles through the relay (minutes). These are exactly the cells that
+    # pushed the r04 driver run past its window, so they run after
+    # everything else and only while the budget allows.
+    try:
+        _gate("dense")
+        if fn256 is None:
+            raise RuntimeError("config 2b did not run (dense cells reuse "
+                               "its buffers)")
+        prng_d = np.random.RandomState(43)
+        for pn in (512, 1024):
+            _gate("dense")  # re-check the budget between cells
+            paln = np.unique(prng_d.randint(0, 256, (pn * 3, 3)),
+                             axis=0)[:pn].astype(np.float32)
+            paln_dev = jnp.asarray(paln)
+            fnn = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
+                                         int(paln.shape[0]), B_B,
+                                         interpret=cpu)
+
+            def fsn_many(k, fnn=fnn, paln_dev=paln_dev):
+                @jax.jit
+                def f(pal, *frames_list):
+                    acc = jnp.float32(0)
+                    for i in range(k):
+                        out = fnn(frames_list[i],
+                                  pal.at[0, 0].set(acc + jnp.float32(i % 3)))
+                        acc = (jnp.sum(out.astype(jnp.int32))
+                               .astype(jnp.float32) * jnp.float32(1e-12))
+                    return acc
+                return lambda: f(paln_dev, *fs_bufs[:k])
+
+            pern = timed_pair(fsn_many(1), fsn_many(3), 3)
+            details[f"fs_1080p_pal{pn}_fps_e2e_device"] = round(B_B / pern, 1)
+            log(f"2b-{pn}: FS 1080p {pn}-color palette "
+                f"{pern*1e3:.1f} ms/batch{B_B} -> {B_B / pern:.0f} fps")
+
+        # 2b-mxu: the MXU-scored dense search (opt-in knob). Same chain
+        # harness; also record the pick-flip fraction vs the exact kernel
+        # (device-side compare, one scalar off the chip).
+        _gate("dense")
+        fn256m = wf.wavefront_device_fn("fixed", "floyd_steinberg", H, W,
+                                        256, B_B,
+                                        interpret=cpu, dense_search="mxu")
+
+        def fs256m_many(k):
+            @jax.jit
+            def f(pal, *frames_list):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    out = fn256m(frames_list[i],
+                                 pal.at[0, 0].set(acc + jnp.float32(i % 3)))
+                    acc = (jnp.sum(out.astype(jnp.int32)).astype(jnp.float32)
+                           * jnp.float32(1e-12))
+                return acc
+            return lambda: f(pal256_dev, *fs_bufs[:k])
+
+        per2bm = timed_pair(fs256m_many(1), fs256m_many(3), 3)
+        details["fs_1080p_pal256_mxu_fps_e2e_device"] = round(B_B / per2bm, 1)
+
+        @jax.jit
+        def flipfrac(pal, frames):
+            a = fn256(frames, pal)
+            m = fn256m(frames, pal)
+            return jnp.mean(jnp.any(a != m, axis=-1).astype(jnp.float32))
+
+        details["fs_1080p_pal256_mxu_flip_fraction"] = round(
+            float(flipfrac(pal256_dev, fs_bufs[0])), 6)
+        ratio = f"{per2b / per2bm:.2f}x exact; " if per2b else ""
+        log(f"2bm: FS 1080p 256-color MXU search {per2bm*1e3:.1f} ms/batch"
+            f"{B_B} -> {B_B / per2bm:.0f} fps "
+            f"({ratio}flip fraction "
+            f"{details['fs_1080p_pal256_mxu_flip_fraction']})")
+    except _SkipBench:
+        pass
+    except Exception as e:
+        errors["config_dense"] = repr(e)
+
+    # Close the last config's time attribution.
+    cfg_times[_last_cfg["name"]] = round(
+        cfg_times.get(_last_cfg["name"], 0.0)
+        + time.time() - _last_cfg["t"], 1)
+    details["config_times_s"] = cfg_times
+    details["total_wall_s"] = round(time.time() - t_start, 1)
+    details["time_budget_s"] = budget_s
+    if budget_skipped:
+        details["budget_skipped"] = sorted(set(budget_skipped))
+
     if errors:
         details["errors"] = errors
 
@@ -919,15 +1035,7 @@ def main():
     except Exception as e:
         log(f"ledger update failed: {e!r}")
 
-    result = {
-        "metric": "1080p Floyd-Steinberg dither throughput "
-                  "(full device path, k-means-32 palette)",
-        "value": round(fs_fps, 1),
-        "unit": "fps",
-        "vs_baseline": round(fs_fps / 300.0, 3),
-        "details": details,
-    }
-    print(json.dumps(result))
+    emit_result()
 
 
 if __name__ == "__main__":
