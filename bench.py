@@ -670,6 +670,25 @@ def main():
             log(f"4i: index stream {n_frames / wall_idx:.2f} vs rgb "
                 f"{n_frames / wall_rgb:.2f} fps wall (index buys "
                 f"{wall_rgb / wall_idx:.2f}x on this link)")
+
+            # Bit-pack differential (VERDICT r04 #4): the 16-color palette
+            # packs 2 px/byte on device (ops/idxpack.py), halving the
+            # dominant D2H term. Same kernel program (the pack is a
+            # separate jitted epilogue), so no extra warm-up run needed —
+            # wall_idx above already ran with the pack ON (the default).
+            os.environ["DITHER_PIE_TPU_INDEX_PACK"] = "0"
+            try:
+                wall_nopack = timed_run(
+                    os.path.join(td, "out_idx_nopack.mp4"), index="1")
+            finally:
+                os.environ.pop("DITHER_PIE_TPU_INDEX_PACK", None)
+            details["stucki_720p_video_e2e_fps_wall_index_nopack"] = round(
+                n_frames / wall_nopack, 2)
+            details["video_index_pack_speedup"] = round(
+                wall_nopack / wall_idx, 2)
+            log(f"4p: index pack on {n_frames / wall_idx:.2f} vs off "
+                f"{n_frames / wall_nopack:.2f} fps wall (pack buys "
+                f"{wall_nopack / wall_idx:.2f}x on this link)")
     except _SkipBench:
         pass
     except Exception as e:

@@ -191,11 +191,15 @@ def _ordered_batch_dispatch(images, pal, screen) -> np.ndarray:
 
 def _ordered_batch_indices(images, pal, screen):
     """(B, H, W) u8 palette indices from the ordered kernels (the index
-    transfer path — see ImageDitherer.apply_dithering_batch)."""
+    transfer path — see ImageDitherer.apply_dithering_batch). Palettes
+    <= 16 colors bit-pack on device before the D2H move (ops/idxpack.py,
+    exact round trip)."""
+    from dither_pie_tpu.ops.idxpack import packed_transfer
+
     idx = _ordered.dispatch_ordered_batch(
         jnp.asarray(images), jnp.asarray(pal), jnp.asarray(screen),
         return_indices=True)
-    return np.asarray(idx)
+    return packed_transfer(idx, len(pal), int(np.asarray(images).shape[2]))
 
 
 class NoDitherStrategy(BaseDitherStrategy):

@@ -2073,11 +2073,16 @@ def _run_packed(mode: str, images: np.ndarray, palette: np.ndarray,
         # 1 byte/pixel (2 for >256-color palettes) leaves the device; the
         # caller maps colors with one exact host-side palette gather
         # (palette entries are the same u8 values the color epilogue
-        # packs).
+        # packs). Palettes <= 16 colors additionally bit-pack 2-8 pixels
+        # per byte on device before the transfer (ops/idxpack.py) — exact
+        # round trip, another 2-8x off the link's dominant term.
         idx = _unskew_idx_packed(col_skew, s, lf, h, w,
                                  interpret=bool(interpret))
-        dt = jnp.uint8 if p <= 256 else jnp.uint16
-        return np.asarray(idx.astype(dt))
+        if p <= 256:
+            from dither_pie_tpu.ops.idxpack import packed_transfer
+
+            return packed_transfer(idx.astype(jnp.uint8), p, w)
+        return np.asarray(idx.astype(jnp.uint16))
     out = _unskew_unpack_colors(col_skew, s, lf, h, w, bool(interpret),
                                 planar_out=planar)
     return np.asarray(out)
