@@ -63,10 +63,11 @@ static void final_clamp(float* work, int n) {
 // compiler vectorizes it (-O3 -march=native), and the argmin stays scalar
 // over a tiny stack array.
 // ---------------------------------------------------------------------------
-// Matches the packed kernel's PACKED_PALETTE_MAX: the f32 twins are the
-// tie-robust golden gates for every palette size the kernel serves
-// (stack cost: 3*1024 f32 SoA + 1024 f32 d2 = 16 KB — fine).
-#define MAX_PAL 1024
+// Covers the packed kernel's PACKED_PALETTE_MAX (1024) AND the v1
+// fallback path beyond it, so every device palette size has a tie-robust
+// f32 golden (the >1024 seam was unswept before round 5). Stack cost:
+// 3*4096 f32 SoA + 4096 f32 d2 = 64 KB — fine on any host thread stack.
+#define MAX_PAL 4096
 
 struct PalSoA {
     float r[MAX_PAL], g[MAX_PAL], b[MAX_PAL];

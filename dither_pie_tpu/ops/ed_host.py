@@ -18,6 +18,11 @@ from dither_pie_tpu.native.build import get_lib
 from dither_pie_tpu.ops.ed_kernels import OSTROMOUKHOV_ARRAY, kernel_arrays
 from dither_pie_tpu.ops.hilbert import hilbert_path, next_power_of_two
 
+# Largest palette the C++ f32 twins serve (ed_scan.cpp MAX_PAL): covers the
+# packed kernel's PACKED_PALETTE_MAX (1024) AND the v1 fallback beyond it,
+# so every device-reachable palette size gates on a tie-robust f32 golden.
+F32_TWIN_MAX_PAL = 4096
+
 
 def _nearest(pal: np.ndarray, v: np.ndarray) -> int:
     d = np.sum((pal.astype(np.float64) - v.astype(np.float64)) ** 2, axis=1)
@@ -66,10 +71,11 @@ def ed_fixed_fast(
     """SIMD f32 fast path (video throughput): distances in float32, matching
     the reference's Numba-path semantics (dithering_lib.py:240-252) instead
     of the exact path's f64 KDTree ordering. Falls back to the exact engine
-    for >1024-color palettes or when the native lib is unavailable (1024 =
-    the packed kernel's PACKED_PALETTE_MAX, so every palette the kernel
-    serves has a tie-robust f32 golden)."""
-    if palette.shape[0] > 1024:
+    for >F32_TWIN_MAX_PAL-color palettes or when the native lib is
+    unavailable (4096 covers the packed kernel's PACKED_PALETTE_MAX and
+    the v1 fallback beyond it, so every device palette size has a
+    tie-robust f32 golden)."""
+    if palette.shape[0] > F32_TWIN_MAX_PAL:
         return ed_fixed(work, palette, variant, serpentine)
     lib = get_lib()
     if lib is None:
@@ -87,7 +93,7 @@ def ed_ostromoukhov_fast(
     work: np.ndarray, palette: np.ndarray, serpentine: bool = False
 ) -> np.ndarray:
     """SIMD f32 fast path for Ostromoukhov (see ed_fixed_fast)."""
-    if palette.shape[0] > 1024:
+    if palette.shape[0] > F32_TWIN_MAX_PAL:
         return ed_ostromoukhov(work, palette, serpentine)
     lib = get_lib()
     if lib is None:
@@ -112,7 +118,7 @@ def ed_hybrid_fast(
     kernel's exact palette-search semantics — agrees with the exact engine
     except on exact half-way palette ties."""
     lib = get_lib()
-    if palette.shape[0] > 1024 or lib is None:
+    if palette.shape[0] > F32_TWIN_MAX_PAL or lib is None:
         return ed_hybrid(work, palette, lum_factor, col_factor,
                          clamp_before_lookup)
     work = np.ascontiguousarray(work, dtype=np.float32)
@@ -126,7 +132,7 @@ def ed_hybrid_fast(
 def ed_perceptual_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """f32-lookup twin of ed_perceptual (see ed_hybrid_fast)."""
     lib = get_lib()
-    if palette.shape[0] > 1024 or lib is None:
+    if palette.shape[0] > F32_TWIN_MAX_PAL or lib is None:
         return ed_perceptual(work, palette)
     work = np.ascontiguousarray(work, dtype=np.float32)
     pal = np.ascontiguousarray(palette, dtype=np.float32)
@@ -145,7 +151,7 @@ def ed_adaptive_fast(
 ) -> np.ndarray:
     """f32-lookup twin of ed_adaptive (see ed_hybrid_fast)."""
     lib = get_lib()
-    if palette.shape[0] > 1024 or lib is None:
+    if palette.shape[0] > F32_TWIN_MAX_PAL or lib is None:
         return ed_adaptive(work, palette, gate)
     work = np.ascontiguousarray(work, dtype=np.float32)
     pal = np.ascontiguousarray(palette, dtype=np.float32)
@@ -157,7 +163,7 @@ def ed_adaptive_fast(
 
 def ed_riemersma_fast(work: np.ndarray, palette: np.ndarray) -> np.ndarray:
     """SIMD f32 fast path for the Hilbert-curve scan (see ed_fixed_fast)."""
-    if palette.shape[0] > 1024:
+    if palette.shape[0] > F32_TWIN_MAX_PAL:
         return ed_riemersma(work, palette)
     lib = get_lib()
     if lib is None:

@@ -345,6 +345,43 @@ def test_packed_past_256_colors():
         assert np.all(o[i] == n, axis=-1).mean() > 0.95, i
 
 
+def test_v1_past_1024_matches_f32_twin():
+    """Palettes past PACKED_PALETTE_MAX route to the v1 fallback (the one
+    kernel path outside the packed family). The C++ f32 twin extends to
+    F32_TWIN_MAX_PAL=4096 exactly so this seam has a tie-robust golden —
+    verified bit-identical on TPU hardware at 480p/P=2048 (round 5); this
+    pins the route + semantics at small shape in interpret mode."""
+    rng = np.random.RandomState(33)
+    pal = np.unique(rng.randint(0, 256, (9000, 3)),
+                    axis=0)[:2048].astype(np.float32)
+    assert pal.shape[0] == 2048 > wf.PACKED_PALETTE_MAX
+    im = rng.randint(0, 256, (16, 20, 3)).astype(np.float32)
+    o = wf.ed_batch_wavefront(im[None].copy(), pal, "fixed",
+                              "floyd_steinberg")
+    g = ed_host.ed_fixed_fast(im.copy(), pal, "floyd_steinberg", False)
+    np.testing.assert_array_equal(o[0], g.astype(np.uint8))
+
+
+def test_f32_twin_serves_2048_colors():
+    """ed_fixed_fast at P=2048 must take the native f32 twin (not the f64
+    exact fallback): pin by checking it agrees with a full-precision
+    numpy f32 re-scan of the same semantics on a tie-free image."""
+    from dither_pie_tpu.native.build import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native engine unavailable")
+    rng = np.random.RandomState(34)
+    pal = np.unique(rng.randint(0, 256, (9000, 3)),
+                    axis=0)[:2048].astype(np.float32)
+    im = rng.uniform(0, 255, (12, 15, 3)).astype(np.float32)
+    fast = ed_host.ed_fixed_fast(im.copy(), pal, "floyd_steinberg", False)
+    exact = ed_host.ed_fixed(im.copy(), pal, "floyd_steinberg", False)
+    # Continuous content: f32-vs-f64 ordering ties are measure-zero, so
+    # the two engines agree — which also certifies the twin actually ran
+    # its scan correctly past the old 1024 cap.
+    np.testing.assert_array_equal(fast, exact)
+
+
 def test_run_routes_packed_and_splits_batches(monkeypatch):
     """_run routes every mode/palette <= 256 colors to the packed kernel
     and splits batches that exceed the VMEM-derived cap exactly."""

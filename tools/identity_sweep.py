@@ -194,6 +194,21 @@ def main():
                       ed_host.ed_fixed_fast(imgs[3].copy(), pal600,
                                             "floyd_steinberg", False))
 
+            # Past-PACKED_PALETTE_MAX: 2048 colors routes to the v1
+            # (per-channel gather epilogue) fallback — the one kernel path
+            # with no hardware identity cell before round 5. The C++ f32
+            # twin now extends to 4096 (ed_scan.cpp MAX_PAL), so the same
+            # tie-robust golden gates it. One shape is enough (the v1
+            # divergence class is epilogue/search logic, not scaling).
+            if not p1080 and h == 480:
+                pal2048 = np.unique(prng.randint(0, 256, (9000, 3)),
+                                    axis=0)[:2048].astype(np.float32)
+                out = wf.ed_batch_wavefront(imgs.copy(), pal2048, "fixed",
+                                            "floyd_steinberg")
+                check(f"{tag} {h}p/fs-pal2048-v1", out[3],
+                      ed_host.ed_fixed_fast(imgs[3].copy(), pal2048,
+                                            "floyd_steinberg", False))
+
             # Index-emitting kernel variants (the 1-2 byte/pixel transfer
             # stream): the host palette gather must reproduce the color
             # output bit-for-bit at scale, u8 (P<=256) and u16 (P>256).
