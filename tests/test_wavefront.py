@@ -98,7 +98,9 @@ def test_twin_matches_native(variant):
     np.testing.assert_array_equal(twin, native)
 
 
-@pytest.mark.parametrize("variant", VARIANTS)
+@pytest.mark.parametrize("variant", [
+    v if v == "floyd_steinberg" else pytest.param(v, marks=pytest.mark.slow)
+    for v in VARIANTS])
 def test_kernel_matches_native(variant):
     img = _img()
     o = wf.ed_fixed_wavefront(img.copy(), PAL, variant)
@@ -106,6 +108,7 @@ def test_kernel_matches_native(variant):
     _similar(o, n)
 
 
+@pytest.mark.slow
 def test_kernel_ostromoukhov():
     img = _img(seed=1)
     o = wf.ed_ostromoukhov_wavefront(img.copy(), PAL)
@@ -113,6 +116,7 @@ def test_kernel_ostromoukhov():
     _similar(o, n)
 
 
+@pytest.mark.slow
 def test_kernel_hybrid():
     img = _img(seed=2)
     o = wf.ed_hybrid_wavefront(img.copy(), PAL, 1.0, 0.2)
@@ -120,6 +124,7 @@ def test_kernel_hybrid():
     _similar(o, n)
 
 
+@pytest.mark.slow
 def test_kernel_perceptual():
     img = _img(seed=3)
     o = wf.ed_perceptual_wavefront(img.copy(), PAL)
@@ -127,6 +132,7 @@ def test_kernel_perceptual():
     _similar(o, n)
 
 
+@pytest.mark.slow
 def test_kernel_adaptive():
     img = _img(seed=4)
     gray = (np.float32(0.299) * img[:, :, 0] + np.float32(0.587) * img[:, :, 1]
@@ -137,6 +143,7 @@ def test_kernel_adaptive():
     _similar(o, n)
 
 
+@pytest.mark.slow
 def test_batch_equals_single():
     """Folding frames into the lane axis must be bit-identical to running
     each frame alone."""
@@ -169,8 +176,9 @@ def test_output_is_palette_colors():
 # ---------------------------------------------------------------------------
 
 
-@pytest.mark.parametrize("variant", ["floyd_steinberg", "jjn", "atkinson",
-                                     "sierra", "sierra_lite"])
+@pytest.mark.parametrize("variant", [
+    v if v == "floyd_steinberg" else pytest.param(v, marks=pytest.mark.slow)
+    for v in ["floyd_steinberg", "jjn", "atkinson", "sierra", "sierra_lite"]])
 def test_packed_kernel_matches_native(variant):
     imgs = np.random.RandomState(11).randint(0, 256, (3, 16, 20, 3)).astype(np.float32)
     out = wf._run_packed("fixed", imgs.copy(), PAL, variant=variant)
@@ -180,6 +188,7 @@ def test_packed_kernel_matches_native(variant):
         assert ident > 0.95, f"{variant} frame {i}: {ident}"
 
 
+@pytest.mark.slow
 def test_packed_hybrid_perceptual_adaptive():
     imgs = np.random.RandomState(12).randint(0, 256, (2, 16, 20, 3)).astype(np.float32)
     oh = wf._run_packed("hybrid", imgs.copy(), PAL)
@@ -199,6 +208,7 @@ def test_packed_hybrid_perceptual_adaptive():
     assert np.all(oa[0] == na, axis=-1).mean() > 0.95
 
 
+@pytest.mark.slow
 def test_packed_odd_shapes():
     for (h, w) in [(7, 5), (1, 12), (12, 1), (33, 9)]:
         img = np.random.RandomState(h * 31 + w).randint(
@@ -208,6 +218,7 @@ def test_packed_odd_shapes():
         assert np.all(o[0] == n, axis=-1).mean() > 0.9, (h, w)
 
 
+@pytest.mark.slow
 def test_packed_ostromoukhov_matches_native():
     """The halving-tree LUT walk (packed v2) must reproduce the exact
     per-luminance weights — any wrong selection diverges chaotically."""
@@ -219,6 +230,7 @@ def test_packed_ostromoukhov_matches_native():
         assert np.all(o[i] == n, axis=-1).mean() > 0.95, i
 
 
+@pytest.mark.slow
 def test_packed_large_palette_lane_search():
     """>64-color palettes take the v1-form lane search inside the packed
     kernel (the round-2 v1 fallback is gone for P <= 256)."""
@@ -270,6 +282,7 @@ def test_f32_twin_serves_dense_palettes():
     np.testing.assert_array_equal(fast, work)
 
 
+@pytest.mark.slow
 def test_dense_tournament_first_wins_on_engineered_ties():
     """The dense-palette pairwise tournament (bit-reversed layout) must
     resolve EXACT ties to the smallest original palette index, matching the
@@ -302,6 +315,7 @@ def test_dense_tournament_first_wins_on_engineered_ties():
         np.testing.assert_array_equal(col[i], n)
 
 
+@pytest.mark.slow
 def test_blocked_tournament_first_wins_pp1024():
     """Palettes past _TOURNEY_BLK (256) run the BLOCKED tournament — d2
     materialized per 256-row block, block pairs combined on the same
@@ -330,6 +344,7 @@ def test_blocked_tournament_first_wins_pp1024():
     assert not np.isin(idx, [100, 550, 299]).any()
 
 
+@pytest.mark.slow
 def test_packed_past_256_colors():
     """The packed path now serves palettes to PACKED_PALETTE_MAX (1024):
     P=300 buckets to pp=512 and exercises the halving-tree select at full
@@ -400,8 +415,9 @@ def test_run_routes_packed_and_splits_batches(monkeypatch):
 
 @pytest.mark.parametrize("mode,kw", [
     ("fixed", {"variant": "floyd_steinberg"}),
-    ("ostromoukhov", {}),
-    ("hybrid", {"lum_factor": 1.0, "col_factor": 0.2}),
+    pytest.param("ostromoukhov", {}, marks=pytest.mark.slow),
+    pytest.param("hybrid", {"lum_factor": 1.0, "col_factor": 0.2},
+                 marks=pytest.mark.slow),
 ])
 def test_return_indices_gathers_to_colors(mode, kw):
     """palette_u8[idx] must reproduce the color epilogue bit-for-bit —
@@ -414,6 +430,7 @@ def test_return_indices_gathers_to_colors(mode, kw):
     np.testing.assert_array_equal(PAL.astype(np.uint8)[idx], colors)
 
 
+@pytest.mark.slow
 def test_return_indices_dense_palette():
     """Dense (>64-color) search path: same gather identity at P=256."""
     rng = np.random.RandomState(5)
@@ -426,6 +443,7 @@ def test_return_indices_dense_palette():
     np.testing.assert_array_equal(pal.astype(np.uint8)[idx], colors)
 
 
+@pytest.mark.slow
 def test_return_indices_u16_past_256():
     """Palettes past 256 colors ride a uint16 index stream (2 bytes/px
     instead of 3 for RGB) with the same exact gather identity."""
@@ -440,6 +458,7 @@ def test_return_indices_u16_past_256():
     np.testing.assert_array_equal(pal.astype(np.uint8)[idx], colors)
 
 
+@pytest.mark.slow
 def test_return_indices_planar_and_split(monkeypatch):
     """Planar input layout and VMEM batch splitting both preserve the
     index/color correspondence (indices are layout-free: (B, H, W))."""
@@ -454,6 +473,7 @@ def test_return_indices_planar_and_split(monkeypatch):
     np.testing.assert_array_equal(PAL.astype(np.uint8)[idx], colors)
 
 
+@pytest.mark.slow
 def test_mxu_dense_search_matches_exact(monkeypatch):
     """DITHER_PIE_TPU_DENSE_SEARCH=mxu rescopes the dense search on the
     MXU; picks may flip only on near-ties (none at these shapes), and the
@@ -627,7 +647,8 @@ def test_unskew_kernel_matches_lemma(s, b, h, w):
 
 @pytest.mark.parametrize("s,b,h,w,p", [
     (2, 8, 120, 200, 4),
-    (3, 16, 380, 140, 32),   # clamping + larger palette
+    pytest.param(3, 16, 380, 140, 32,   # clamping + larger palette
+                 marks=pytest.mark.slow),
 ])
 def test_unskew_select_kernel_matches_two_step(s, b, h, w, p):
     """Fused unskew+select kernel == stride-lemma unskew + XLA select."""
@@ -651,6 +672,7 @@ def test_unskew_select_kernel_matches_two_step(s, b, h, w, p):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.slow
 def test_packed_batch_not_multiple_of_8():
     """b=12 disqualifies the fused epilogue's 8-sublane blocking; the XLA
     fallback inside _unskew_select_colors must keep outputs identical to
@@ -667,7 +689,8 @@ def test_packed_batch_not_multiple_of_8():
 @pytest.mark.parametrize("s,b,h,w,dt", [
     (2, 8, 120, 200, "uint8"),
     (3, 8, 100, 150, "float32"),
-    (2, 16, 380, 140, "uint8"),   # d-tiles wrap past wcp (g mod wtiles)
+    pytest.param(2, 16, 380, 140, "uint8",  # d-tiles wrap past wcp
+                 marks=pytest.mark.slow),
 ])
 def test_fullrow_skew_matches_lemma(s, b, h, w, dt):
     """Skew kernel v2 (full-row residency + static d-tile slices) must
@@ -719,6 +742,7 @@ def test_planar_device_fn_matches_nhwc():
     np.testing.assert_array_equal(out_p.transpose(1, 2, 3, 0), out_n)
 
 
+@pytest.mark.slow
 def test_planar_batch_entry_matches_nhwc():
     """ed_batch_wavefront(planar=True) — the video pipeline's zero-copy
     entry — must be bit-identical to the NHWC entry for every covered
