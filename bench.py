@@ -88,7 +88,8 @@ def update_ledger(details, label=None):
     Returns {key: pct_change} for moves >= 10% (signed), for bench details.
     """
     entry = {"label": label or time.strftime("%Y-%m-%d %H:%M:%S"),
-             "platform": details.get("platform")}
+             "platform": details.get("platform"),
+             "jax": details.get("jax_version")}
     for k in LEDGER_KEYS:
         if isinstance(details.get(k), (int, float)):
             entry[k] = details[k]
@@ -212,7 +213,15 @@ def main():
     H, W = (96, 128) if small else (1080, 1920)
     mpix = H * W / 1e6
     rng = np.random.RandomState(0)
+    import jaxlib
+
     details = {"platform": platform,
+               # Toolchain identity: two standing decisions (host
+               # Riemersma, no sub-linear dense search) are measurements
+               # conditional on jax/libtpu — a version change here is the
+               # re-measurement trigger (VERDICT r04 #8).
+               "jax_version": jax.__version__,
+               "jaxlib_version": jaxlib.__version__,
                "method": "K-chained in-dispatch differential for "
                          "device-sustained; wall clock for e2e"}
     errors = {}
@@ -797,6 +806,10 @@ def main():
         details["neural_hybrid_1080p_fps_wall_ds4_off"] = round(
             n5 / wall_full, 2)
         details["neural_ds4_speedup"] = round(wall_full / wall, 2)
+        # Round-5 strided final conv: record what the first-batch gate
+        # decided for this capture (True = 16x fewer final-conv windows).
+        details["neural_ds4_stride_locked"] = getattr(
+            model, "_ds4_stride", None)
         log(f"5d: ds4 off {n5/wall_full:.2f} fps wall "
             f"(ds4 transfer buys {wall_full/wall:.2f}x)")
 

@@ -211,6 +211,19 @@ def aliasnet_forward(p: Params, x: jnp.ndarray,
         return _aliasnet_body(p, x).astype(jnp.float32)
 
 
+def aliasnet_forward_ds4(p: Params, x: jnp.ndarray,
+                         precision: str = "float32") -> jnp.ndarray:
+    """Aliasnet evaluated only at the DS4 sample grid (stride-4 final
+    conv, see _aliasnet_body_ds4): (B, H, W, 3) -> (B, H/4, W/4, 3).
+    16x fewer final-conv windows; the inference path enables it behind a
+    first-batch runtime gate (models/inference.py:_gated_batch_forward)."""
+    from dither_pie_tpu.models.layers import bf16_activations
+
+    fast = precision == "bfloat16"
+    with jax.default_matmul_precision(precision), bf16_activations(fast):
+        return _aliasnet_body_ds4(p, x).astype(jnp.float32)
+
+
 def _aliasnet_trunk(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Everything up to (not including) the final 7x7 tanh conv."""
     x = conv_block(p, "RGBEnc.model.0", x, 1, 3, "in", "relu", "reflect")

@@ -18,8 +18,9 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from dither_pie_tpu.models.c2pgen import (aliasnet_forward, c2pgen_forward,
-                                          style_adain)
+from dither_pie_tpu.models.c2pgen import (aliasnet_forward,
+                                          aliasnet_forward_ds4,
+                                          c2pgen_forward, style_adain)
 from dither_pie_tpu.models.convert import convert_checkpoints, find_checkpoint_dir
 from dither_pie_tpu.utils import compute_even_dimensions
 
@@ -159,21 +160,30 @@ def _forward_u8_adain(gen_params, alias_params, in_t, adain,
     return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("precision",))
+@functools.partial(jax.jit, static_argnames=("precision", "stride"))
 def _forward_u8_ds4_adain(gen_params, alias_params, in_t, adain,
-                          precision: str = "float32"):
+                          precision: str = "float32",
+                          stride: bool = False):
     """forward_u8_adain + on-device /4 NEAREST sample: the product's final
     image is 4x4-block-constant by construction (the reference's save() does
     /4-then-x4 NEAREST, /root/reference/models/pixelization.py:76-83), so
     only the (H/4, W/4) samples at block position (2, 2) ever reach the
     output — shipping just those cuts device->host traffic 16x vs the full
     u8 frame (64x vs f32). The host reconstructs bit-identically with
-    ``upsample4_u8``."""
+    ``upsample4_u8``.
+
+    ``stride``: compute ONLY those samples — the final 7x7 aliasnet conv
+    runs with window_strides=(4,4) (aliasnet_forward_ds4; 16x fewer
+    windows, measured 1.38x on the bf16 alias stage on a v5e). Bitwise
+    identical to the dense slice in f32 on hardware; in bf16 the lowering
+    differs by <=1.3e-4 pre-u8 — _gated_batch_forward admits it behind a
+    first-batch parity gate."""
     in_t = _maybe_normalize(in_t)
-    out = aliasnet_forward(
-        alias_params,
-        c2pgen_forward(gen_params, in_t, adain=adain, precision=precision),
-        precision=precision)
+    mid = c2pgen_forward(gen_params, in_t, adain=adain, precision=precision)
+    if stride:
+        out = aliasnet_forward_ds4(alias_params, mid, precision=precision)
+        return ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
+    out = aliasnet_forward(alias_params, mid, precision=precision)
     u8 = ((out + 1.0) * 0.5 * 255.0).astype(jnp.uint8)
     return u8[:, 2::4, 2::4, :]
 
@@ -232,6 +242,7 @@ class PixelizationModel:
         self.ref_t = jnp.asarray(process(ref_img))
         self._adain = None  # style code cache (lazy; constant per params)
         self._video_prec = None  # batched-video precision (parity-gated)
+        self._ds4_stride = None  # strided final conv (first-batch gated)
 
     def _style(self) -> jnp.ndarray:
         """The (1, 2048) adain code for reference.png — computed once per
@@ -250,18 +261,25 @@ class PixelizationModel:
 
     def forward_u8(self, in_t: np.ndarray,
                    precision: Optional[str] = None,
-                   ds4: bool = False) -> np.ndarray:
+                   ds4: bool = False, stride: bool = False) -> np.ndarray:
         """(B, H, W, 3) in [-1, 1] -> (B, H, W, 3) uint8 (denormalized on
         device; 4x less device->host traffic than forward_array).
         ``precision`` None -> the DITHER_PIE_TPU_NEURAL_PRECISION env
         setting (default float32 torch-parity).
         ``ds4``: return the (B, H/4, W/4, 3) block samples instead (16x
         less transfer; ``upsample4_u8`` reconstructs the full frame
-        bit-identically — see _forward_u8_ds4_adain)."""
-        fwd = _forward_u8_ds4_adain if ds4 else _forward_u8_adain
-        out = fwd(self.gen_params, self.alias_params,
-                  jnp.asarray(in_t), self._style(),
-                  precision=precision or _env_precision())
+        bit-identically — see _forward_u8_ds4_adain).
+        ``stride`` (ds4 only): stride-4 final conv — compute only the
+        samples (see _forward_u8_ds4_adain)."""
+        if ds4:
+            out = _forward_u8_ds4_adain(self.gen_params, self.alias_params,
+                                        jnp.asarray(in_t), self._style(),
+                                        precision=precision or _env_precision(),
+                                        stride=stride)
+        else:
+            out = _forward_u8_adain(self.gen_params, self.alias_params,
+                                    jnp.asarray(in_t), self._style(),
+                                    precision=precision or _env_precision())
         return np.asarray(out)
 
     # Parity gate for the bf16 video fast path: bf16 convs with f32
@@ -287,10 +305,13 @@ class PixelizationModel:
         pixel stats on the samples equal per-block stats on the full frame
         (block=1 below is the full frame's block=4).
         """
+        import logging
         import os
 
         from dither_pie_tpu.core.fidelity import block_mean_error
 
+        logger = logging.getLogger("dither_pie_tpu")
+        dense = None  # this batch's dense output at the locked precision
         if self._video_prec is None:
             if "DITHER_PIE_TPU_NEURAL_PRECISION" in os.environ:
                 self._video_prec = _env_precision()
@@ -306,20 +327,68 @@ class PixelizationModel:
                 if (mean_delta <= self.BF16_GATE_MEAN_U8_DELTA
                         and block_mean <= self.BF16_GATE_BLOCK_MEAN):
                     self._video_prec = "bfloat16"
-                    import logging
-                    logging.getLogger("dither_pie_tpu").info(
+                    logger.info(
                         f"Neural video: bf16 fast path enabled (parity gate"
                         f" passed: mean |u8 delta| {mean_delta:.3f}, block"
                         f" mean {block_mean:.3f})")
-                    return bf16
-                self._video_prec = "float32"
-                import logging
-                logging.getLogger("dither_pie_tpu").warning(
-                    f"Neural video: bf16 parity gate FAILED (mean |u8 "
-                    f"delta| {mean_delta:.3f}, block mean {block_mean:.3f})"
-                    f"; staying on float32")
-                return f32
-        return self.forward_u8(stacked, precision=self._video_prec, ds4=ds4)
+                    dense = bf16
+                else:
+                    self._video_prec = "float32"
+                    logger.warning(
+                        f"Neural video: bf16 parity gate FAILED (mean |u8 "
+                        f"delta| {mean_delta:.3f}, block mean "
+                        f"{block_mean:.3f}); staying on float32")
+                    dense = f32
+        if not ds4:
+            if dense is None:
+                dense = self.forward_u8(stacked, precision=self._video_prec)
+            return dense
+
+        # Strided final conv (ds4 only): compute ONLY the /4 samples —
+        # 16x fewer windows in the last 7x7 aliasnet conv. First-batch
+        # gate: f32 requires BITWISE equality vs the dense slice (holds on
+        # TPU hardware, tools/ds4_stride_probe.py; XLA:CPU's FMA
+        # contraction legitimately fails it -> dense), bf16 reuses the
+        # bf16 quality budget vs its own dense lowering (measured pre-u8
+        # divergence <= 1.3e-4, far inside the budget).
+        # DITHER_PIE_TPU_NEURAL_DS4_STRIDE=0/1 forces.
+        if self._ds4_stride is None:
+            env = os.environ.get("DITHER_PIE_TPU_NEURAL_DS4_STRIDE")
+            if env in ("0", "1"):
+                self._ds4_stride = env == "1"
+            else:
+                if dense is None:
+                    dense = self.forward_u8(stacked,
+                                            precision=self._video_prec,
+                                            ds4=True)
+                cand = self.forward_u8(stacked, precision=self._video_prec,
+                                       ds4=True, stride=True)
+                if self._video_prec == "float32":
+                    ok = bool(np.array_equal(cand, dense))
+                    note = "bitwise" if ok else "not bitwise"
+                else:
+                    mean_delta = float(np.abs(
+                        dense.astype(np.int16) - cand.astype(np.int16))
+                        .mean())
+                    block_mean = max(
+                        block_mean_error(dense[i], cand[i], block=1)[0]
+                        for i in range(dense.shape[0]))
+                    ok = (mean_delta <= self.BF16_GATE_MEAN_U8_DELTA
+                          and block_mean <= self.BF16_GATE_BLOCK_MEAN)
+                    note = (f"mean |u8 delta| {mean_delta:.3f}, "
+                            f"block mean {block_mean:.3f}")
+                self._ds4_stride = ok
+                logger.info(
+                    f"Neural video: strided ds4 conv "
+                    f"{'enabled' if ok else 'DISABLED'} ({note})")
+                return cand if ok else dense
+        if self._ds4_stride:
+            return self.forward_u8(stacked, precision=self._video_prec,
+                                   ds4=True, stride=True)
+        if dense is None:
+            dense = self.forward_u8(stacked, precision=self._video_prec,
+                                    ds4=True)
+        return dense
 
     def pixelize(self, in_path: str, out_path: str):
         img = Image.open(in_path).convert("RGB")

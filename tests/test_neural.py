@@ -261,6 +261,48 @@ def test_ds4_strided_conv_matches_dense_slice():
         np.testing.assert_allclose(strided, dense, rtol=0, atol=1e-5)
 
 
+def test_ds4_stride_paths(monkeypatch):
+    """The strided ds4 final conv: =0 forbids, =1 forces (within the bf16
+    quality budget of the dense path), auto decides on the first batch
+    (f32 requires bitwise equality — XLA:CPU's FMA contraction may
+    legitimately fail it closed to dense; either verdict must reproduce
+    the corresponding forced path bit-for-bit)."""
+    from PIL import Image
+
+    from dither_pie_tpu.models.inference import PixelizationModel
+
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_PRECISION", "float32")
+    rng = np.random.RandomState(9)
+    frames = [Image.fromarray(rng.randint(0, 256, (40, 56, 3),
+                                          dtype=np.uint8))
+              for _ in range(2)]
+
+    m = PixelizationModel()
+    m.load_random(0)
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_DS4_STRIDE", "0")
+    dense = m.pixelize_images_batch(frames, 16)
+    assert m._ds4_stride is False
+
+    m2 = PixelizationModel()
+    m2.load_random(0)
+    monkeypatch.setenv("DITHER_PIE_TPU_NEURAL_DS4_STRIDE", "1")
+    strided = m2.pixelize_images_batch(frames, 16)
+    assert m2._ds4_stride is True
+    for a, b in zip(dense, strided):
+        d = np.abs(np.asarray(a).astype(np.int16)
+                   - np.asarray(b).astype(np.int16))
+        assert d.mean() <= 1.0 and d.max() <= 2  # rounding-boundary flips
+
+    m3 = PixelizationModel()
+    m3.load_random(0)
+    monkeypatch.delenv("DITHER_PIE_TPU_NEURAL_DS4_STRIDE", raising=False)
+    auto = m3.pixelize_images_batch(frames, 16)
+    assert m3._ds4_stride in (True, False)
+    ref = strided if m3._ds4_stride else dense
+    for a, b in zip(auto, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_u8_input_normalization_within_ulp():
     """Device-side u8 normalization tracks host process() to 1 ulp for
     every possible u8 value (XLA rewrites /255 into a reciprocal multiply;
