@@ -90,6 +90,7 @@ def update_ledger(details, label=None):
     entry = {"label": label or time.strftime("%Y-%m-%d %H:%M:%S"),
              "platform": details.get("platform"),
              "jax": details.get("jax_version")}
+    n_base = len(entry)
     for k in LEDGER_KEYS:
         if isinstance(details.get(k), (int, float)):
             entry[k] = details[k]
@@ -123,7 +124,7 @@ def update_ledger(details, label=None):
                     f" vs '{prev.get('label')}'{flag}")
                 if abs(pct) >= 10:
                     big_moves[k] = round(pct, 1)
-    if len(entry) > 2:  # only persist runs that actually measured something
+    if len(entry) > n_base:  # only persist runs that actually measured something
         try:
             with open(LEDGER_PATH, "a") as f:
                 f.write(json.dumps(entry) + "\n")

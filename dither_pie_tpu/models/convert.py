@@ -76,6 +76,23 @@ def convert_vgg19_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def convert_p2cgen_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Convert a P2CGen state dict (plain convs + LayerNorm affines)."""
+    return convert_aliasnet_state(state)
+
+
+def convert_discriminator_state(state: Dict[str, np.ndarray]
+                                ) -> Dict[str, np.ndarray]:
+    """Convert a CPDis / CPDis_cls state dict: tensors pass through
+    UNTRANSPOSED. The spectral-norm power iteration is defined on the
+    (O, I*kh*kw) flattening of the torch-layout weight_bar
+    (/root/reference/models/c2pDis.py:248-254), so models/discriminator.py
+    keeps torch layouts throughout (incl. classifier_conv OIHW and the
+    (out, in) margin weight) and relayouts inside the jitted program."""
+    return {k: np.ascontiguousarray(np.asarray(v, dtype=np.float32))
+            for k, v in state.items()}
+
+
 def load_torch_state(path: str) -> Dict[str, np.ndarray]:
     import torch
 

@@ -53,12 +53,16 @@ def _build_vgg19():
 def reference_models():
     """Reference torch C2PGen + AliasNet with random weights."""
     # Stub torchvision before importing the reference models package.
-    tv = types.ModuleType("torchvision")
-    tv_models = types.ModuleType("torchvision.models")
+    # Mutate any already-installed stub IN PLACE (tests/test_training.py
+    # registers a bare one, and the reference's c2pGen module may have
+    # already bound it via `import torchvision.models as models`).
+    tv = sys.modules.get("torchvision") or types.ModuleType("torchvision")
+    tv_models = (sys.modules.get("torchvision.models")
+                 or types.ModuleType("torchvision.models"))
     tv_models.vgg19 = lambda pretrained=False: _build_vgg19()
     tv.models = tv_models
-    sys.modules.setdefault("torchvision", tv)
-    sys.modules.setdefault("torchvision.models", tv_models)
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = tv_models
 
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")

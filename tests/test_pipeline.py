@@ -225,8 +225,9 @@ class TestVideoFrames:
                                    batch_size=3))
         assert len(outs) == 6
         # two batches of 3 -> batched forwards only, no per-frame fan-out
-        # (the FIRST batch runs twice: the f32-vs-bf16 parity gate).
-        assert calls == [3, 3, 3]
+        # (the FIRST batch runs three times: f32-vs-bf16 parity gate +
+        # the strided-ds4 candidate gate).
+        assert calls == [3, 3, 3, 3]
         single = np.array(npix.pixelize(Image.fromarray(frames[0]), 16)
                           .convert("RGB"))
         batched = np.array(npix.pixelize_batch(
