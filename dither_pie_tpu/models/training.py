@@ -323,3 +323,43 @@ def shard_batch(mesh: jax.sharding.Mesh, arr: np.ndarray,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     return jax.device_put(arr, NamedSharding(mesh, P(data_axis)))
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint save/resume. One flat .npz holds every leaf of the state
+# pytree (params + Adam moments) — restoring into a structurally-identical
+# fresh state resumes training exactly (same tx config required).
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state: GANTrainState,
+                     step: int = 0) -> None:
+    """Write the full train state (params + optimizer moments) to .npz."""
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    arrs = {f"leaf_{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
+    arrs["__step__"] = np.asarray(step, np.int64)
+    np.savez(path, **arrs)
+
+
+def load_train_state(path: str, like: GANTrainState
+                     ) -> Tuple[GANTrainState, int]:
+    """Restore a state saved by save_train_state. ``like`` supplies the
+    pytree structure (e.g. a fresh gan_init with the same dims/tx) —
+    leaf shapes are validated against it."""
+    with np.load(path) as z:
+        step = int(z["__step__"])
+        leaves, treedef = jax.tree_util.tree_flatten(like)
+        names = [f"leaf_{i:05d}" for i in range(len(leaves))]
+        missing = [n for n in names if n not in z]
+        if missing or len(z.files) - 1 != len(names):
+            raise ValueError(
+                f"checkpoint {path} has {len(z.files) - 1} leaves, "
+                f"state expects {len(names)} — dims/optimizer mismatch")
+        new = []
+        for n, ref in zip(names, leaves):
+            arr = z[n]
+            if tuple(arr.shape) != tuple(np.shape(ref)):
+                raise ValueError(
+                    f"checkpoint leaf {n}: shape {arr.shape} != expected "
+                    f"{np.shape(ref)}")
+            new.append(jnp.asarray(arr))
+    return jax.tree_util.tree_unflatten(treedef, new), step

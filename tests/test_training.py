@@ -6,6 +6,7 @@ Same method as tests/test_neural.py: instantiate the reference modules with
 random weights, convert the exact state dict, compare numerically.
 """
 
+import os
 import sys
 import types
 
@@ -361,3 +362,50 @@ def test_gan_train_step_sharded():
     for k in m_ref:
         np.testing.assert_allclose(float(m_sh[k]), float(m_ref[k]),
                                    rtol=2e-4, err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint save/resume + trainer CLI
+# ---------------------------------------------------------------------------
+
+def test_save_load_train_state_roundtrip(tmp_path):
+    from dither_pie_tpu.models.training import (gan_init, load_train_state,
+                                                save_train_state)
+
+    state, _, _ = gan_init(jax.random.PRNGKey(3), dim=8, conv_dim=8)
+    path = str(tmp_path / "ck.npz")
+    save_train_state(path, state, step=7)
+    like, _, _ = gan_init(jax.random.PRNGKey(4), dim=8, conv_dim=8)
+    restored, step = load_train_state(path, like)
+    assert step == 7
+    for k in state.g_params:
+        np.testing.assert_array_equal(np.asarray(restored.g_params[k]),
+                                      np.asarray(state.g_params[k]))
+    # Structural mismatch (different dims) must be rejected, not garbled.
+    wrong, _, _ = gan_init(jax.random.PRNGKey(5), dim=4, conv_dim=8)
+    with pytest.raises(ValueError):
+        load_train_state(path, wrong)
+
+
+@pytest.mark.slow
+def test_train_gan_cli_smoke(tmp_path):
+    """Two epochs + exact resume through the CLI entry point."""
+    from PIL import Image
+
+    from dither_pie_tpu.tools.train_gan import main
+
+    src_d, real_d = tmp_path / "src", tmp_path / "real"
+    src_d.mkdir(), real_d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+                        ).save(src_d / f"{i}.png")
+        Image.fromarray(rng.randint(0, 256, (40, 40, 3), dtype=np.uint8)
+                        ).save(real_d / f"{i}.png")
+    ck = str(tmp_path / "ck.npz")
+    common = ["--src", str(src_d), "--real", str(real_d), "--batch", "2",
+              "--size", "32", "--dim", "8", "--conv-dim", "8",
+              "--ckpt", ck, "--no-mesh"]
+    assert main(["--epochs", "2", "--save-every", "1"] + common) == 0
+    assert os.path.exists(ck)
+    assert main(["--epochs", "3"] + common) == 0  # resumes at epoch 2
