@@ -270,6 +270,7 @@ def make_gan_train_step(g_tx, d_tx, gan_mode: str = "lsgan",
     the power-iteration updates from its own forward — the same
     one-iteration-per-D-forward cadence as the torch hook.
     """
+    import optax
 
     def step(state: GANTrainState, src: jnp.ndarray, real: jnp.ndarray
              ) -> Tuple[GANTrainState, Dict[str, jnp.ndarray]]:
@@ -286,7 +287,6 @@ def make_gan_train_step(g_tx, d_tx, gan_mode: str = "lsgan",
         (d_loss, uv), d_grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(state.d_params)
         d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
-        import optax
         d_params = optax.apply_updates(state.d_params, d_updates)
         d_params = {**d_params, **uv}
 
