@@ -699,6 +699,44 @@ def main():
             log(f"4p: index pack on {n_frames / wall_idx:.2f} vs off "
                 f"{n_frames / wall_nopack:.2f} fps wall (pack buys "
                 f"{wall_nopack / wall_idx:.2f}x on this link)")
+
+            # 4t: isolated index-move differential. The e2e wall above can
+            # hide the D2H term entirely (overlap + host encode), so also
+            # record the raw move: plain (B,H,W) u8 D2H vs the full packed
+            # path (device pack -> half the bytes across the link -> host
+            # unpack). This is the term the pack actually halves.
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            from dither_pie_tpu.ops.idxpack import (pack_indices_device,
+                                                    unpack_indices_host)
+
+            idx_dev = _jax.device_put(np.random.RandomState(0).randint(
+                0, 16, (16, vh, vw), dtype=np.uint8))
+            idx_dev.block_until_ready()
+
+            def _move_plain():
+                return np.asarray(idx_dev)
+
+            def _move_packed():
+                packed = np.asarray(pack_indices_device(idx_dev, 4))
+                return unpack_indices_host(packed, 4, vw)
+
+            def _timeit(fn):
+                t0 = time.time()
+                fn()
+                return time.time() - t0
+
+            _move_packed()  # compile the pack epilogue
+            t_plain = sorted(_timeit(_move_plain) for _ in range(3))[1]
+            t_pack = sorted(_timeit(_move_packed) for _ in range(3))[1]
+            mb = idx_dev.size / 1e6
+            details["index_move_plain_mb_s"] = round(mb / t_plain, 1)
+            details["index_move_packed_mb_s"] = round(mb / t_pack, 1)
+            details["index_move_pack_speedup"] = round(t_plain / t_pack, 2)
+            log(f"4t: raw index move {mb / t_plain:.1f} MB/s plain vs "
+                f"{mb / t_pack:.1f} MB/s effective packed (pack moves the "
+                f"bare transfer {t_plain / t_pack:.2f}x)")
     except _SkipBench:
         pass
     except Exception as e:
