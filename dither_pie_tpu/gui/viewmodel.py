@@ -53,9 +53,10 @@ def theme_palette(appearance_mode: Optional[str]) -> Dict[str, str]:
     """Color palette for a theme.appearance_mode value.
 
     "dark" / "light" map directly; "system" (the reference's third
-    customtkinter value) and anything unknown fall back to the config
-    default ("dark") — the reference's customtkinter treats unknown
-    values the same way (falls through to its default)."""
+    customtkinter value) maps to LIGHT — with no display-server query
+    available headlessly, tk's native look is light, so that is the
+    closest analogue of follow-the-OS. Unknown values fall back to the
+    config default ("dark")."""
     mode = (appearance_mode or "").strip().lower()
     if mode == "system":
         mode = "light"  # no display-server query headlessly; light is tk's native look

@@ -46,7 +46,7 @@ Params = Dict[str, jnp.ndarray]
 # Random param builders (torch-ctor-equivalent distributions)
 # ---------------------------------------------------------------------------
 
-def _conv_init(key, kh, kw, cin, cout, dist="kaiming_uniform"):
+def _conv_init(key, kh, kw, cin, cout):
     """torch Conv2d default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in)),
     bias U(±1/sqrt(fan_in)). Returns HWIO weight + bias."""
     fan_in = kh * kw * cin
@@ -210,11 +210,13 @@ class ReduceLROnPlateau:
         self.num_bad_epochs = 0
 
     def step(self, metric: float) -> float:
+        # torch updates `best` ONLY when the rel-threshold test passes —
+        # a slow sub-threshold drift keeps best pinned (and patience
+        # counting), it does not ratchet best down.
         if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.num_bad_epochs = 0
         else:
-            self.best = min(self.best, metric)
             self.num_bad_epochs += 1
         if self.num_bad_epochs > self.patience:
             new_lr = self.lr * self.factor
@@ -278,8 +280,13 @@ def make_gan_train_step(g_tx, d_tx, gan_mode: str = "lsgan",
         fake_sg = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
-            pred_real, _ = cpdis_forward(d_params, real)
-            pred_fake, uv = cpdis_forward(d_params, fake_sg)
+            # Sequential forwards, torch-hook cadence: the real forward
+            # walks u/v one power iteration, the fake forward runs FROM
+            # the walked state and walks it again — two iterations per D
+            # step, and the fake branch normalizes with the post-walk
+            # sigma, exactly as the in-place hook would.
+            pred_real, uv1 = cpdis_forward(d_params, real)
+            pred_fake, uv = cpdis_forward({**d_params, **uv1}, fake_sg)
             loss = 0.5 * (gan_loss(pred_real, True, gan_mode)
                           + gan_loss(pred_fake, False, gan_mode))
             return loss, uv
@@ -331,28 +338,35 @@ def shard_batch(mesh: jax.sharding.Mesh, arr: np.ndarray,
 # fresh state resumes training exactly (same tx config required).
 # ---------------------------------------------------------------------------
 
-def save_train_state(path: str, state: GANTrainState,
-                     step: int = 0) -> None:
-    """Write the full train state (params + optimizer moments) to .npz."""
+def save_train_state(path: str, state: GANTrainState, step: int = 0,
+                     extra: Optional[Dict[str, float]] = None) -> None:
+    """Write the full train state (params + optimizer moments) to .npz.
+    ``extra``: scalar side-state (e.g. the plateau scheduler's
+    lr/best/num_bad_epochs) saved alongside and returned by load."""
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrs = {f"leaf_{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
     arrs["__step__"] = np.asarray(step, np.int64)
+    for k, v in (extra or {}).items():
+        arrs[f"extra_{k}"] = np.asarray(float(v))
     np.savez(path, **arrs)
 
 
 def load_train_state(path: str, like: GANTrainState
-                     ) -> Tuple[GANTrainState, int]:
+                     ) -> Tuple[GANTrainState, int, Dict[str, float]]:
     """Restore a state saved by save_train_state. ``like`` supplies the
     pytree structure (e.g. a fresh gan_init with the same dims/tx) —
-    leaf shapes are validated against it."""
+    leaf shapes are validated against it. Returns (state, step, extra)."""
     with np.load(path) as z:
         step = int(z["__step__"])
+        extra = {k[len("extra_"):]: float(z[k]) for k in z.files
+                 if k.startswith("extra_")}
         leaves, treedef = jax.tree_util.tree_flatten(like)
         names = [f"leaf_{i:05d}" for i in range(len(leaves))]
         missing = [n for n in names if n not in z]
-        if missing or len(z.files) - 1 != len(names):
+        n_leaves = len(z.files) - 1 - len(extra)
+        if missing or n_leaves != len(names):
             raise ValueError(
-                f"checkpoint {path} has {len(z.files) - 1} leaves, "
+                f"checkpoint {path} has {n_leaves} leaves, "
                 f"state expects {len(names)} — dims/optimizer mismatch")
         new = []
         for n, ref in zip(names, leaves):
@@ -362,4 +376,4 @@ def load_train_state(path: str, like: GANTrainState
                     f"checkpoint leaf {n}: shape {arr.shape} != expected "
                     f"{np.shape(ref)}")
             new.append(jnp.asarray(arr))
-    return jax.tree_util.tree_unflatten(treedef, new), step
+    return jax.tree_util.tree_unflatten(treedef, new), step, extra

@@ -69,6 +69,10 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--lr-policy", default="linear",
                     choices=("linear", "step", "cosine", "plateau"))
+    ap.add_argument("--decay-epochs", type=int, default=None,
+                    help="linear: epochs of decay at the end (default "
+                         "epochs/2); step: the hold length before each "
+                         "10x cut")
     ap.add_argument("--gan-mode", default="lsgan",
                     choices=("lsgan", "vanilla", "wgangp"))
     ap.add_argument("--lambda-l1", type=float, default=100.0)
@@ -133,25 +137,50 @@ def main(argv=None):
     state = GANTrainState(g_params, d_params, g_tx.init(g_params),
                           d_tx.init(d_params))
     start_epoch = 0
+    ck_extra = {}
     if args.ckpt and os.path.isfile(args.ckpt):
-        state, start_epoch = load_train_state(args.ckpt, state)
+        state, start_epoch, ck_extra = load_train_state(args.ckpt, state)
         print(f"resumed {args.ckpt} at epoch {start_epoch}")
 
     step = make_gan_train_step(g_tx, d_tx, gan_mode=args.gan_mode,
                                lambda_l1=args.lambda_l1, mesh=mesh)
 
+    decay = args.decay_epochs if args.decay_epochs is not None \
+        else args.epochs // 2
     if args.lr_policy == "plateau":
         plateau = ReduceLROnPlateau(args.lr)
+        # Resume the scheduler's side-state so an interrupted run
+        # continues exactly (lr level, best metric, patience counter).
+        if ck_extra:
+            plateau.lr = ck_extra.get("plateau_lr", plateau.lr)
+            plateau.best = ck_extra.get("plateau_best", plateau.best)
+            plateau.num_bad_epochs = int(
+                ck_extra.get("plateau_bad", plateau.num_bad_epochs))
         lr_of = None
-    else:
+    elif args.lr_policy == "linear":
         plateau = None
-        lr_of = lr_schedule(args.lr_policy, args.lr, epoch_count=1,
-                            n_epochs=args.epochs,
-                            n_epochs_decay=args.epochs)
+        # Reference convention (networks.py lambda_rule): hold the base LR
+        # for the first (epochs - decay) epochs, then decay linearly to ~0
+        # over the last `decay` epochs.
+        lr_of = lr_schedule("linear", args.lr, epoch_count=1,
+                            n_epochs=args.epochs - decay,
+                            n_epochs_decay=decay)
+    elif args.lr_policy == "step":
+        plateau = None
+        lr_of = lr_schedule("step", args.lr,
+                            lr_decay_iters=max(1, args.epochs - decay))
+    else:  # cosine: one half-period over the whole run
+        plateau = None
+        lr_of = lr_schedule("cosine", args.lr, n_epochs=args.epochs)
 
     def set_lr(lr):
         state.g_opt.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
         state.d_opt.hyperparams["learning_rate"] = jax.numpy.asarray(lr)
+
+    def sched_extra():
+        return ({"plateau_lr": plateau.lr, "plateau_best": plateau.best,
+                 "plateau_bad": plateau.num_bad_epochs}
+                if plateau else None)
 
     rng = np.random.RandomState(args.seed)
     order = np.arange(len(pairs))
@@ -185,10 +214,12 @@ def main(argv=None):
               f"G {g_avg:.4f}  D {d_avg:.4f}  "
               f"({time.time() - t0:.1f}s, {n_steps} steps)")
         if args.ckpt and (epoch + 1) % args.save_every == 0:
-            save_train_state(args.ckpt, state, step=epoch + 1)
+            save_train_state(args.ckpt, state, step=epoch + 1,
+                             extra=sched_extra())
             print(f"saved {args.ckpt}")
     if args.ckpt:
-        save_train_state(args.ckpt, state, step=args.epochs)
+        save_train_state(args.ckpt, state, step=max(start_epoch, args.epochs),
+                         extra=sched_extra())
         print(f"saved {args.ckpt}")
     return 0
 

@@ -276,9 +276,12 @@ def test_plateau_scheduler_parity():
     ref_sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
         optim, mode="min", factor=0.2, threshold=0.01, patience=5)
     ours = ReduceLROnPlateau(0.1)
-    # improves, stalls past patience (reduce), improves again, stalls again
+    # improves, stalls past patience (reduce), improves again, stalls again;
+    # then a slow sub-threshold drift (best must stay PINNED, not ratchet:
+    # 0.2376 < 0.24*0.99 resets patience only because best held at 0.24)
     metrics = ([1.0, 0.9, 0.85] + [0.849] * 7 + [0.5] + [0.499] * 8
-               + [0.3, 0.29])
+               + [0.3, 0.29] + [0.24, 0.2399, 0.2390, 0.2382, 0.2376,
+                                0.2374, 0.2373])
     for met in metrics:
         ref_sched.step(met)
         optim.step()
@@ -374,10 +377,12 @@ def test_save_load_train_state_roundtrip(tmp_path):
 
     state, _, _ = gan_init(jax.random.PRNGKey(3), dim=8, conv_dim=8)
     path = str(tmp_path / "ck.npz")
-    save_train_state(path, state, step=7)
+    save_train_state(path, state, step=7,
+                     extra={"plateau_lr": 1e-4, "plateau_bad": 3})
     like, _, _ = gan_init(jax.random.PRNGKey(4), dim=8, conv_dim=8)
-    restored, step = load_train_state(path, like)
+    restored, step, extra = load_train_state(path, like)
     assert step == 7
+    assert extra == {"plateau_lr": 1e-4, "plateau_bad": 3.0}
     for k in state.g_params:
         np.testing.assert_array_equal(np.asarray(restored.g_params[k]),
                                       np.asarray(state.g_params[k]))

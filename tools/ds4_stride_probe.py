@@ -53,7 +53,7 @@ def main():
     # --identity-only skips the chained timing programs (each is a large
     # extra compile; the identity question is the gate, timing the bonus).
     identity_only = "--identity-only" in sys.argv
-    worst_ident = 1.0
+    failures = []
     for prec in ("float32", "bfloat16"):
         fast = prec == "bfloat16"
 
@@ -72,9 +72,22 @@ def main():
         b = np.asarray(strided(ap, x))
         ident = float(np.mean(a == b))
         max_err = float(np.max(np.abs(a - b)))
-        worst_ident = min(worst_ident, ident)
-        print(f"[{prec}] bitwise identity {ident:.6f}  max|err| {max_err:.3e}",
-              flush=True)
+        # Mirror the runtime admission rule (_gated_batch_forward):
+        # f32 requires BITWISE identity; bf16 is admitted on a quality
+        # budget (its dense lowering is itself a different reduction
+        # order) — pre-u8 divergence must stay far inside half a u8 bin
+        # (2/255/2 ~ 3.9e-3; measured on v5e: <= 1.3e-4).
+        if prec == "float32":
+            ok = ident == 1.0
+            bar = "bitwise"
+        else:
+            ok = max_err <= 2e-3
+            bar = "max|err| <= 2e-3"
+        if not ok:
+            failures.append(f"{prec} ({bar}: identity {ident:.6f}, "
+                            f"max|err| {max_err:.3e})")
+        print(f"[{prec}] bitwise identity {ident:.6f}  max|err| {max_err:.3e}"
+              f"  gate({bar}): {'ok' if ok else 'FAIL'}", flush=True)
         if identity_only or prec == "float32":
             continue  # time only bf16 (the production video mode)
 
@@ -102,13 +115,13 @@ def main():
             print(f"[{prec}] alias {name}: {per*1000:.1f} ms/batch "
                   f"({B/per:.1f} fps)")
 
-    # Gate semantics: nonzero exit on ANY bitwise mismatch, so CI / shell
-    # recipes can use this probe directly as a go/no-go check.
-    if worst_ident < 1.0:
-        print(f"FAIL: strided conv is not bit-identical "
-              f"(worst identity {worst_ident:.6f})", flush=True)
+    # Gate semantics: nonzero exit when any mode fails ITS admission rule
+    # (f32 bitwise / bf16 budget), so CI / shell recipes can use this
+    # probe directly as a go/no-go check on healthy hardware.
+    if failures:
+        print("FAIL: " + "; ".join(failures), flush=True)
         sys.exit(1)
-    print("OK: strided conv bit-identical in all tested modes", flush=True)
+    print("OK: strided conv admissible in all tested modes", flush=True)
 
 
 def _t(f, *a):
