@@ -711,26 +711,37 @@ def main():
             from dither_pie_tpu.ops.idxpack import (pack_indices_device,
                                                     unpack_indices_host)
 
-            idx_dev = _jax.device_put(np.random.RandomState(0).randint(
-                0, 16, (16, vh, vw), dtype=np.uint8))
-            idx_dev.block_until_ready()
+            # Indices must be generated ON DEVICE with a fresh buffer per
+            # measurement: device_put keeps a cached host copy, and
+            # np.asarray on it reads back at memcpy speed, not link speed
+            # (the round-3 293 GB/s link-probe trap).
+            @_jax.jit
+            def _make_idx(salt):
+                i = _jnp.arange(16 * vh * vw, dtype=_jnp.uint32
+                                ).reshape(16, vh, vw)
+                return ((i * _jnp.uint32(2654435761) + salt)
+                        >> _jnp.uint32(8)).astype(_jnp.uint8) & _jnp.uint8(15)
 
-            def _move_plain():
-                return np.asarray(idx_dev)
-
-            def _move_packed():
-                packed = np.asarray(pack_indices_device(idx_dev, 4))
-                return unpack_indices_host(packed, 4, vw)
-
-            def _timeit(fn):
+            def _move_plain(salt):
+                a = _make_idx(_jnp.uint32(salt))
+                a.block_until_ready()
                 t0 = time.time()
-                fn()
+                np.asarray(a)
                 return time.time() - t0
 
-            _move_packed()  # compile the pack epilogue
-            t_plain = sorted(_timeit(_move_plain) for _ in range(3))[1]
-            t_pack = sorted(_timeit(_move_packed) for _ in range(3))[1]
-            mb = idx_dev.size / 1e6
+            def _move_packed(salt):
+                a = _make_idx(_jnp.uint32(salt))
+                a.block_until_ready()
+                t0 = time.time()
+                packed = np.asarray(pack_indices_device(a, 4))
+                unpack_indices_host(packed, 4, vw)
+                return time.time() - t0
+
+            _move_packed(0)  # compile pack epilogue + warm the path
+            _move_plain(1)
+            t_plain = sorted(_move_plain(2 + i) for i in range(3))[1]
+            t_pack = sorted(_move_packed(16 + i) for i in range(3))[1]
+            mb = 16 * vh * vw / 1e6
             details["index_move_plain_mb_s"] = round(mb / t_plain, 1)
             details["index_move_packed_mb_s"] = round(mb / t_pack, 1)
             details["index_move_pack_speedup"] = round(t_plain / t_pack, 2)
