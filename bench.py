@@ -124,6 +124,8 @@ def update_ledger(details, label=None):
                     f" vs '{prev.get('label')}'{flag}")
                 if abs(pct) >= 10:
                     big_moves[k] = round(pct, 1)
+    if label and label.startswith("dev"):  # smoke/dev runs: report, don't persist
+        return big_moves
     if len(entry) > n_base:  # only persist runs that actually measured something
         try:
             with open(LEDGER_PATH, "a") as f:
@@ -255,7 +257,13 @@ def main():
     palette16 = jnp.asarray(rng.randint(0, 256, (16, 3)).astype(np.float32))
 
     # ---- Config 1: single 512x512 Bayer 8x8 -> 16 colors, LATENCY ---------
-    try:
+    # Runs AFTER config 2 (the headline): on a pathologically slow relay
+    # (observed 2026-08-21: ~25 s per dispatch round-trip) this microbench's
+    # ~52 round-trips once ate 1282 s and starved every later config, so it
+    # (a) yields first place to the headline and (b) self-caps on wall
+    # clock (BENCH_CFG1_CAP_S, default 180 s): timing rounds stop early and
+    # the median of what ran is reported, with the truncation noted.
+    def _config1():
         _gate("1", budget=False)
         import itertools
 
@@ -293,6 +301,8 @@ def main():
             pool = itertools.cycle(imgs1)
             return lambda: f(next(pool), palette16, screen1)
 
+        t_c1 = time.time()
+        cap1 = float(os.environ.get("BENCH_CFG1_CAP_S", "180"))
         f1, fk = single_many(1), single_many(K1)
         _ = np.asarray(f1()); _ = np.asarray(fk())  # compile
 
@@ -302,24 +312,27 @@ def main():
                 t0 = time.time()
                 _ = np.asarray(f())
                 ts.append(time.time() - t0)
-            return sorted(ts)[n // 2]
+                if time.time() - t_c1 > cap1:
+                    break
+            return sorted(ts)[len(ts) // 2]
 
-        rounds1 = [max((med1(fk) - med1(f1)) / (K1 - 1), 1e-9)
-                   for _ in range(5)]
+        rounds1 = []
+        while len(rounds1) < 5:
+            rounds1.append(max((med1(fk) - med1(f1)) / (K1 - 1), 1e-9))
+            if time.time() - t_c1 > cap1:
+                break
+        capped = " (wall-capped, relay-degraded)" if len(rounds1) < 5 else ""
         per1 = float(np.median(rounds1))
         details["latency_512_bayer8x8_ms"] = round(per1 * 1000, 4)
         details["latency_512_bayer8x8_ms_spread"] = [
             round(min(rounds1) * 1000, 4), round(max(rounds1) * 1000, 4)]
         details["latency_512_method"] = (
-            f"fori_loop {K1}-chain differential, median of 5 rounds of "
-            "median-of-5 timings; r04's 0.046 vs r03's 0.0104 ms was relay "
-            "jitter on the old 64-unroll's sub-ms differential")
+            f"fori_loop {K1}-chain differential, median of {len(rounds1)} "
+            f"round(s) of median-of-5 timings{capped}; r04's 0.046 vs "
+            "r03's 0.0104 ms was relay jitter on the old 64-unroll's "
+            "sub-ms differential")
         log(f"1: 512^2 bayer latency {per1*1e3:.4f} ms/image "
-            f"(spread {details['latency_512_bayer8x8_ms_spread']})")
-    except _SkipBench:
-        pass
-    except Exception as e:
-        errors["config1"] = repr(e)
+            f"(spread {details['latency_512_bayer8x8_ms_spread']}{capped})")
 
     # ---- Config 2 (headline): 1080p FS, k-means 32-color palette, FULL
     # device path (skew + scan + unskew + take) ------------------------------
@@ -398,6 +411,13 @@ def main():
     # Early emission: a parseable record exists from here on even if the
     # driver's window expires mid-run (VERDICT r04 #1).
     emit_result(partial=True)
+
+    try:
+        _config1()
+    except _SkipBench:
+        pass
+    except Exception as e:
+        errors["config1"] = repr(e)
 
     # Config 2b: 256-color palette through the packed lane-search kernel
     # (the reference supports arbitrary custom palettes; lospec palettes
@@ -1117,7 +1137,13 @@ def main():
         details["errors"] = errors
 
     try:
-        moves = update_ledger(details)
+        # Smoke/dev invocations (BENCH_SMALL or a BENCH_CONFIGS subset)
+        # report deltas but never persist: a BENCH_SMALL run's numbers are
+        # shape-degenerate (observed: a 2-frame chain reading 2e9 fps via
+        # relay dedup) and would poison the next real run's comparisons.
+        moves = update_ledger(
+            details, label="dev " + time.strftime("%Y-%m-%d %H:%M:%S")
+            if (small or only) else None)
         if moves:
             details["ledger_moves_gt10pct"] = moves
     except Exception as e:
