@@ -227,7 +227,7 @@ class DitheringApp:
         btn("Toggle View", self.toggle_view)
         btn("Compare...", self.compare_views)
 
-        self.viewer = ZoomableImage(outer)
+        self.viewer = ZoomableImage(outer, bg=self.theme["canvas"])
         self.viewer.pack(side="left", fill="both", expand=True)
 
         self.status = StatusBar(self.root,
@@ -481,7 +481,8 @@ class DitheringApp:
             messagebox.showinfo("Nothing to compare",
                                 "Process an image first.")
             return
-        ImageComparisonView(self.root, self.current_image, processed)
+        ImageComparisonView(self.root, self.current_image, processed,
+                            canvas_bg=self.theme["canvas"])
 
     def toggle_view(self):
         res = self.vm.toggle_state()
@@ -521,7 +522,9 @@ class PaletteDialog(tk.Toplevel):
         self.var = tk.IntVar(value=0)
         self._saved_view = app.viewer.get_view_state()
 
-        canvas = tk.Canvas(self, width=330, height=460)
+        canvas = tk.Canvas(self, width=330, height=460,
+                           highlightthickness=0,
+                           bg=app.theme.get("canvas", "#1e1e1e"))
         scroll = ttk.Scrollbar(self, orient="vertical", command=canvas.yview)
         inner = ttk.Frame(canvas)
         inner.bind("<Configure>",

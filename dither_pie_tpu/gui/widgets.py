@@ -33,7 +33,10 @@ class ZoomableImage(tk.Canvas):
     MIN_ZOOM, MAX_ZOOM = 0.05, 64.0
 
     def __init__(self, master, **kwargs):
-        super().__init__(master, highlightthickness=0, bg="#202020", **kwargs)
+        # Default dark surface; the app passes bg=theme["canvas"] so the
+        # viewer follows theme.appearance_mode (gui/app.py:_apply_theme).
+        kwargs.setdefault("bg", "#202020")
+        super().__init__(master, highlightthickness=0, **kwargs)
         self.original: Optional[Image.Image] = None
         self._tk_img = None
         self.zoom = 1.0
@@ -208,14 +211,15 @@ class ImageComparisonView(tk.Toplevel):
     """Side-by-side before/after viewer."""
 
     def __init__(self, master, left: Image.Image, right: Image.Image,
-                 titles=("Original", "Processed")):
+                 titles=("Original", "Processed"), canvas_bg=None):
         super().__init__(master)
         self.title("Comparison")
         for col, (img, name) in enumerate(zip((left, right), titles)):
             frame = ttk.Frame(self)
             frame.grid(row=0, column=col, sticky="nsew")
             ttk.Label(frame, text=name).pack()
-            viewer = ZoomableImage(frame, width=420, height=420)
+            viewer = ZoomableImage(frame, width=420, height=420,
+                                   **({"bg": canvas_bg} if canvas_bg else {}))
             viewer.pack(fill="both", expand=True)
             viewer.set_image(img)
         self.columnconfigure(0, weight=1)
@@ -501,8 +505,9 @@ class PixelizationEditorCanvas(tk.Canvas):
 
     def __init__(self, master, grid: np.ndarray, cell_px: int = 16, **kwargs):
         h, w = grid.shape[:2]
+        kwargs.setdefault("bg", "#181818")
         super().__init__(master, width=w * cell_px, height=h * cell_px,
-                         highlightthickness=0, bg="#181818", **kwargs)
+                         highlightthickness=0, **kwargs)
         self.grid_data = grid.astype(np.uint8).copy()
         self.cell_px = cell_px
         self.tool = "brush"  # brush | fill | picker

@@ -342,7 +342,13 @@ def save_train_state(path: str, state: GANTrainState, step: int = 0,
                      extra: Optional[Dict[str, float]] = None) -> None:
     """Write the full train state (params + optimizer moments) to .npz.
     ``extra``: scalar side-state (e.g. the plateau scheduler's
-    lr/best/num_bad_epochs) saved alongside and returned by load."""
+    lr/best/num_bad_epochs) saved alongside and returned by load.
+
+    The path is normalized to end in ``.npz``: np.savez appends that
+    extension silently, which would make a later existence check on the
+    bare name miss the file (and a resume silently restart)."""
+    if not path.endswith(".npz"):
+        path += ".npz"
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrs = {f"leaf_{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
     arrs["__step__"] = np.asarray(step, np.int64)

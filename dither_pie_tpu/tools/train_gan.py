@@ -138,6 +138,10 @@ def main(argv=None):
                           d_tx.init(d_params))
     start_epoch = 0
     ck_extra = {}
+    if args.ckpt and not args.ckpt.endswith(".npz"):
+        # np.savez appends .npz; normalize up front so the resume
+        # existence check below finds what save_train_state wrote.
+        args.ckpt += ".npz"
     if args.ckpt and os.path.isfile(args.ckpt):
         state, start_epoch, ck_extra = load_train_state(args.ckpt, state)
         print(f"resumed {args.ckpt} at epoch {start_epoch}")
@@ -167,8 +171,9 @@ def main(argv=None):
                             n_epochs_decay=decay)
     elif args.lr_policy == "step":
         plateau = None
-        lr_of = lr_schedule("step", args.lr,
-                            lr_decay_iters=max(1, args.epochs - decay))
+        # `decay` IS the hold length between 10x cuts (matches the --help
+        # text; the reference's opt.lr_decay_iters plays the same role).
+        lr_of = lr_schedule("step", args.lr, lr_decay_iters=max(1, decay))
     else:  # cosine: one half-period over the whole run
         plateau = None
         lr_of = lr_schedule("cosine", args.lr, n_epochs=args.epochs)

@@ -20,6 +20,9 @@ for f in tests/test_*.py; do
   t0=$(date +%s)
   out=$(python -m pytest "$f" -q "$@" 2>&1)
   rc=$?
+  # rc=5 = "no tests collected": with deselection args (e.g. -m 'not slow')
+  # an all-slow file legitimately collects nothing — not a failure.
+  if [ $rc -eq 5 ]; then rc=0; fi
   dt=$(( $(date +%s) - t0 ))
   line=$(echo "$out" | grep -E "passed|failed|error" | tail -1)
   summary+=("$f: rc=$rc ${dt}s  $line")
