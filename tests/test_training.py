@@ -392,6 +392,22 @@ def test_save_load_train_state_roundtrip(tmp_path):
         load_train_state(path, wrong)
 
 
+def test_save_train_state_normalizes_npz_extension(tmp_path):
+    """np.savez silently appends .npz; a bare --ckpt name must still be
+    found by the resume existence check (it once silently restarted)."""
+    import os
+
+    from dither_pie_tpu.models.training import (gan_init, load_train_state,
+                                                save_train_state)
+
+    state, _, _ = gan_init(jax.random.PRNGKey(6), dim=4, conv_dim=4)
+    bare = str(tmp_path / "run1")
+    save_train_state(bare, state, step=2)
+    assert os.path.isfile(bare + ".npz")
+    _, step, _ = load_train_state(bare + ".npz", state)
+    assert step == 2
+
+
 @pytest.mark.slow
 def test_train_gan_cli_smoke(tmp_path):
     """Two epochs + exact resume through the CLI entry point."""
