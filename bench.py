@@ -29,8 +29,14 @@ Survivability (the r04 driver capture timed out with no JSON record):
   * BENCH_TIME_BUDGET_S (default 1080) stops STARTING new budgeted configs
     once exceeded; configs 1+2 and the fidelity gate are exempt, and the
     slow dense-palette cells (2b-512 / 2b-1024 / 2b-mxu) run last;
+  * config 1 (the latency microbench) runs after the headline and
+    self-caps at BENCH_CFG1_CAP_S (default 180 s): a degraded relay
+    (observed: ~25 s per dispatch round-trip) once let its ~52 round-trips
+    eat 1282 s and starve everything downstream;
   * per-config wall times land in details.config_times_s so the budget can
-    be resized from any capture.
+    be resized from any capture;
+  * BENCH_SMALL / BENCH_CONFIGS dev invocations report ledger deltas but
+    never persist to bench_ledger.jsonl.
 """
 
 import json
@@ -290,16 +296,25 @@ def main():
         # jitter floor. The ledger now tracks this key round-over-round.
         K1 = 16 if small else 256
 
+        # Per-call scalar salt: the image pool is finite (14), so timing
+        # rounds eventually REUSE an (image, program) pair — and the relay
+        # dedups byte-identical dispatches, zeroing the differential
+        # (observed 2026-08-21: median collapsed to the 1e-9 floor ->
+        # 0.0 ms). A fresh int32 arg per call makes every dispatch payload
+        # unique, and the salt feeds the xor chain so it can't be CSE'd.
+        call_salt = itertools.count(salt)
+
         def single_many(k):
             @jax.jit
-            def f(img, palette, screen):
+            def f(img, s0, palette, screen):
                 def body(i, out):
                     return ordered_dither_fused(
-                        jnp.bitwise_xor(out, (i + 1).astype(jnp.uint8)),
+                        jnp.bitwise_xor(out, (i + 1 + s0).astype(jnp.uint8)),
                         palette, screen, interpret=cpu, bucket=False)
                 return lax.fori_loop(0, k, body, img)
             pool = itertools.cycle(imgs1)
-            return lambda: f(next(pool), palette16, screen1)
+            return lambda: f(next(pool), jnp.int32(next(call_salt) & 0x7F),
+                            palette16, screen1)
 
         t_c1 = time.time()
         cap1 = float(os.environ.get("BENCH_CFG1_CAP_S", "180"))
@@ -323,6 +338,18 @@ def main():
                 break
         capped = " (wall-capped, relay-degraded)" if len(rounds1) < 5 else ""
         per1 = float(np.median(rounds1))
+        # Sanity floor: 512^2 x 16 colors can't run in < 5 us on this chip
+        # (observed healthy readings 10-60 us); a sub-floor median means
+        # the differential collapsed (relay dedup / jitter inversion) and
+        # must not be persisted as a real number.
+        if per1 < 5e-6:
+            details["latency_512_bayer8x8_ms_invalid"] = round(per1 * 1e3, 6)
+            details["latency_512_method"] = (
+                "DEGENERATE differential (relay dedup/jitter collapsed the "
+                f"median to {per1*1e3:.6f} ms); excluded from the ledger")
+            log(f"1: 512^2 bayer latency DEGENERATE ({per1*1e3:.6f} ms) — "
+                "excluded")
+            return
         details["latency_512_bayer8x8_ms"] = round(per1 * 1000, 4)
         details["latency_512_bayer8x8_ms_spread"] = [
             round(min(rounds1) * 1000, 4), round(max(rounds1) * 1000, 4)]
