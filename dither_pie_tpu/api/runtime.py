@@ -52,10 +52,25 @@ def _accelerator_responsive(timeout: float) -> bool:
     except Exception:
         pass
     try:
+        # Enumeration alone is not liveness: an outage observed 2026-08-21
+        # had jax.devices() succeed instantly while every DISPATCH hung for
+        # >14 min. The probe must round-trip one tiny jitted dispatch
+        # (compile rides the persistent executable cache, so the happy
+        # path stays seconds after the first probe ever).
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax; jax.devices(); print('BACKEND_OK')"],
-            timeout=timeout, capture_output=True, text=True)
+             "try:\n"
+             "    from dither_pie_tpu.api.cache import "
+             "enable_compilation_cache\n"
+             "    enable_compilation_cache()\n"
+             "except Exception:\n"
+             "    pass\n"
+             "import jax, jax.numpy as jnp, numpy\n"
+             "numpy.asarray(jax.jit(lambda x: x + 1)(jnp.ones(8)))\n"
+             "print('BACKEND_OK')"],
+            timeout=timeout, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))))
         ok = "BACKEND_OK" in r.stdout
     except Exception:
         ok = False
