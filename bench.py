@@ -181,6 +181,15 @@ def main():
     log(f"platform: {platform}, devices: {jax.devices()}")
 
     small = os.environ.get("BENCH_SMALL") == "1"  # CI smoke on CPU
+    if cpu and not small:
+        # Accelerator-outage fallback: full-size shapes through the
+        # interpret-mode Pallas path would not finish in any driver
+        # window (1080p batch-16 interpret = hours). A small honest smoke
+        # that completes and emits a labeled record beats an rc=124 with
+        # no JSON at all.
+        small = True
+        log("cpu fallback: forcing BENCH_SMALL shapes so the run "
+            "completes; record labeled cpu_fallback_smoke")
 
     # BENCH_CONFIGS="4,5" reruns only the named configs (development /
     # methodology validation; the driver runs everything). Standalone:
@@ -233,6 +242,8 @@ def main():
                "jaxlib_version": jaxlib.__version__,
                "method": "K-chained in-dispatch differential for "
                          "device-sustained; wall clock for e2e"}
+    if cpu and small and os.environ.get("BENCH_SMALL") != "1":
+        details["cpu_fallback_smoke"] = True  # outage record, not a perf run
     errors = {}
 
     def timed_pair(f1, fk, k, rounds=3):
@@ -896,6 +907,14 @@ def main():
             o, ed_host.ed_fixed_fast(im.copy(), p256, "floyd_steinberg",
                                      False)), 4)
         details["golden_bit_identity"] = fid
+        if cpu:
+            # XLA:CPU contracts a*b+c into FMA and nothing at the jax
+            # level blocks it (measured, ROADMAP r04 item 7): the
+            # bit-for-bit contract holds on TPU; CPU cells are perceptual
+            # (pinned >=0.95 by tests/test_fidelity.py on this backend).
+            details["golden_bit_identity_note"] = (
+                "XLA:CPU FMA contraction makes sub-1.0 cells expected "
+                "here; the bit contract is a TPU guarantee")
         bad = {k: v for k, v in fid.items() if v < 1.0}
         log(f"fidelity vs golden engine: "
             f"{'all 1.0 (' + str(len(fid)) + ' cells)' if not bad else bad}")
