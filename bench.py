@@ -88,10 +88,12 @@ LEDGER_KEYS = (
 )
 
 
-def update_ledger(details, label=None):
+def update_ledger(details, label=None, persist=True):
     """Append headline metrics to the ledger; print deltas vs the last entry.
 
-    Returns {key: pct_change} for moves >= 10% (signed), for bench details.
+    ``persist=False``: report deltas but write nothing (smoke/dev runs
+    whose shape-degenerate numbers must not become the next real run's
+    baseline). Returns {key: pct_change} for moves >= 10% (signed).
     """
     entry = {"label": label or time.strftime("%Y-%m-%d %H:%M:%S"),
              "platform": details.get("platform"),
@@ -130,7 +132,7 @@ def update_ledger(details, label=None):
                     f" vs '{prev.get('label')}'{flag}")
                 if abs(pct) >= 10:
                     big_moves[k] = round(pct, 1)
-    if label and label.startswith("dev"):  # smoke/dev runs: report, don't persist
+    if not persist:
         return big_moves
     if len(entry) > n_base:  # only persist runs that actually measured something
         try:
@@ -181,6 +183,7 @@ def main():
     log(f"platform: {platform}, devices: {jax.devices()}")
 
     small = os.environ.get("BENCH_SMALL") == "1"  # CI smoke on CPU
+    forced_fallback = False
     if cpu and not small:
         # Accelerator-outage fallback: full-size shapes through the
         # interpret-mode Pallas path would not finish in any driver
@@ -188,6 +191,7 @@ def main():
         # that completes and emits a labeled record beats an rc=124 with
         # no JSON at all.
         small = True
+        forced_fallback = True
         log("cpu fallback: forcing BENCH_SMALL shapes so the run "
             "completes; record labeled cpu_fallback_smoke")
 
@@ -242,7 +246,7 @@ def main():
                "jaxlib_version": jaxlib.__version__,
                "method": "K-chained in-dispatch differential for "
                          "device-sustained; wall clock for e2e"}
-    if cpu and small and os.environ.get("BENCH_SMALL") != "1":
+    if forced_fallback:
         details["cpu_fallback_smoke"] = True  # outage record, not a perf run
     errors = {}
 
@@ -1187,9 +1191,7 @@ def main():
         # report deltas but never persist: a BENCH_SMALL run's numbers are
         # shape-degenerate (observed: a 2-frame chain reading 2e9 fps via
         # relay dedup) and would poison the next real run's comparisons.
-        moves = update_ledger(
-            details, label="dev " + time.strftime("%Y-%m-%d %H:%M:%S")
-            if (small or only) else None)
+        moves = update_ledger(details, persist=not (small or only))
         if moves:
             details["ledger_moves_gt10pct"] = moves
     except Exception as e:

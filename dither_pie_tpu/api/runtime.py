@@ -56,7 +56,11 @@ def _accelerator_responsive(timeout: float) -> bool:
         # had jax.devices() succeed instantly while every DISPATCH hung for
         # >14 min. The probe must round-trip one tiny jitted dispatch
         # (compile rides the persistent executable cache, so the happy
-        # path stays seconds after the first probe ever).
+        # path stays seconds after the first probe ever). Cold-cache cost
+        # measured on the live tunnel: 12.9 s end-to-end — 18x under the
+        # 240 s default timeout, so a healthy backend cannot time out on
+        # first contact ("minutes per shape" applies to the big Pallas
+        # programs, not this x+1).
         r = subprocess.run(
             [sys.executable, "-c",
              "try:\n"

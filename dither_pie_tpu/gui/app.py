@@ -364,7 +364,8 @@ class DitheringApp:
 
         PixelizationEditorDialog(self.root, self._active_source(),
                                  target_size=int(self.max_size_var.get()),
-                                 on_apply=apply, config_mgr=self.config)
+                                 on_apply=apply, config_mgr=self.config,
+                                 canvas_bg=self.theme["canvas"])
 
     # ------------------------------------------------------------ dither
 

@@ -742,11 +742,14 @@ class PixelizationEditorDialog(tk.Toplevel):
     Window geometry persists via the config manager."""
 
     def __init__(self, master, source: Image.Image, target_size: int = 48,
-                 on_apply: Optional[Callable] = None, config_mgr=None):
+                 on_apply: Optional[Callable] = None, config_mgr=None,
+                 canvas_bg: Optional[str] = None):
         super().__init__(master)
         self.title("Pixelization editor")
         self.on_apply = on_apply
         self.config_mgr = config_mgr
+        self.canvas_bg = canvas_bg  # themed surface color (app passes
+        #                             theme["canvas"]); None = widget default
         self.source = source.convert("RGB")
         self._alt_pick_active = False
         self._alt_prev_tool = None
@@ -815,8 +818,9 @@ class PixelizationEditorDialog(tk.Toplevel):
         ttk.Label(self.toolbar,
                   text="Alt+wheel: scale grid, Alt+drag: move grid"
                   ).pack(side="right", padx=8)
-        self.preview = GridPreviewCanvas(self.body, self.source, target_size,
-                                         width=640, height=480)
+        self.preview = GridPreviewCanvas(
+            self.body, self.source, target_size, width=640, height=480,
+            **({"bg": self.canvas_bg} if self.canvas_bg else {}))
         self.preview.pack(fill="both", expand=True)
         self.size_var.trace_add(
             "write", lambda *_: self._sync_target_size())
@@ -841,8 +845,10 @@ class PixelizationEditorDialog(tk.Toplevel):
 
     def _show_editor(self, grid: np.ndarray):
         self._clear()
-        self.canvas = PixelizationEditorCanvas(self.body, grid, cell_px=max(
-            2, 512 // max(grid.shape[:2])))
+        self.canvas = PixelizationEditorCanvas(
+            self.body, grid,
+            cell_px=max(2, 512 // max(grid.shape[:2])),
+            **({"bg": self.canvas_bg} if self.canvas_bg else {}))
         for label, tool in [("Brush", "brush"), ("Fill", "fill"), ("Pick", "picker")]:
             ttk.Button(self.toolbar, text=label,
                        command=lambda t=tool: self._set_tool(t)

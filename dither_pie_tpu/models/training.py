@@ -338,17 +338,22 @@ def shard_batch(mesh: jax.sharding.Mesh, arr: np.ndarray,
 # fresh state resumes training exactly (same tx config required).
 # ---------------------------------------------------------------------------
 
+def checkpoint_path(path: str) -> str:
+    """Normalize a checkpoint path to end in ``.npz``: np.savez appends
+    that extension silently, so a bare name would save to one file and
+    then fail every later existence check / load on the bare name (a
+    resume would silently restart). Shared by save, load, and the
+    trainer CLI so the three never disagree."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_train_state(path: str, state: GANTrainState, step: int = 0,
                      extra: Optional[Dict[str, float]] = None) -> None:
-    """Write the full train state (params + optimizer moments) to .npz.
-    ``extra``: scalar side-state (e.g. the plateau scheduler's
-    lr/best/num_bad_epochs) saved alongside and returned by load.
-
-    The path is normalized to end in ``.npz``: np.savez appends that
-    extension silently, which would make a later existence check on the
-    bare name miss the file (and a resume silently restart)."""
-    if not path.endswith(".npz"):
-        path += ".npz"
+    """Write the full train state (params + optimizer moments) to .npz
+    (path normalized via ``checkpoint_path``). ``extra``: scalar
+    side-state (e.g. the plateau scheduler's lr/best/num_bad_epochs)
+    saved alongside and returned by load."""
+    path = checkpoint_path(path)
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrs = {f"leaf_{i:05d}": np.asarray(v) for i, v in enumerate(leaves)}
     arrs["__step__"] = np.asarray(step, np.int64)
@@ -359,10 +364,11 @@ def save_train_state(path: str, state: GANTrainState, step: int = 0,
 
 def load_train_state(path: str, like: GANTrainState
                      ) -> Tuple[GANTrainState, int, Dict[str, float]]:
-    """Restore a state saved by save_train_state. ``like`` supplies the
-    pytree structure (e.g. a fresh gan_init with the same dims/tx) —
-    leaf shapes are validated against it. Returns (state, step, extra)."""
-    with np.load(path) as z:
+    """Restore a state saved by save_train_state (path normalized via
+    ``checkpoint_path``, mirroring save). ``like`` supplies the pytree
+    structure (e.g. a fresh gan_init with the same dims/tx) — leaf
+    shapes are validated against it. Returns (state, step, extra)."""
+    with np.load(checkpoint_path(path)) as z:
         step = int(z["__step__"])
         extra = {k[len("extra_"):]: float(z[k]) for k in z.files
                  if k.startswith("extra_")}

@@ -101,6 +101,7 @@ def main(argv=None):
     import numpy as np
 
     from dither_pie_tpu.models.training import (ReduceLROnPlateau,
+                                                checkpoint_path,
                                                 load_train_state, lr_schedule,
                                                 make_gan_train_step,
                                                 save_train_state, shard_batch)
@@ -138,10 +139,10 @@ def main(argv=None):
                           d_tx.init(d_params))
     start_epoch = 0
     ck_extra = {}
-    if args.ckpt and not args.ckpt.endswith(".npz"):
-        # np.savez appends .npz; normalize up front so the resume
-        # existence check below finds what save_train_state wrote.
-        args.ckpt += ".npz"
+    if args.ckpt:
+        # One normalization shared with save/load (training.py) so the
+        # resume existence check below finds what save_train_state wrote.
+        args.ckpt = checkpoint_path(args.ckpt)
     if args.ckpt and os.path.isfile(args.ckpt):
         state, start_epoch, ck_extra = load_train_state(args.ckpt, state)
         print(f"resumed {args.ckpt} at epoch {start_epoch}")

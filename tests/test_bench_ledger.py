@@ -37,7 +37,7 @@ def test_ledger_compares_same_platform_only(tmp_path, monkeypatch):
 
 
 def test_ledger_dev_runs_report_but_never_persist(tmp_path, monkeypatch):
-    """BENCH_SMALL / BENCH_CONFIGS invocations pass a 'dev …' label: their
+    """BENCH_SMALL / BENCH_CONFIGS invocations pass persist=False: their
     shape-degenerate numbers must not become the next real run's baseline
     (observed: a 2-frame smoke read 2e9 fps via relay dedup)."""
     ledger = tmp_path / "ledger.jsonl"
@@ -46,7 +46,7 @@ def test_ledger_dev_runs_report_but_never_persist(tmp_path, monkeypatch):
                          "bayer8x8_1080p_gpix_per_s": 2.0}, label="run-a")
     moves = bench.update_ledger({"platform": "tpu",
                                  "bayer8x8_1080p_gpix_per_s": 200.0},
-                                label="dev 2026-08-21")
+                                label="dev-smoke", persist=False)
     assert moves == {"bayer8x8_1080p_gpix_per_s": 9900.0}  # still reported
     entries = [json.loads(line) for line in ledger.read_text().splitlines()]
     assert [e["label"] for e in entries] == ["run-a"]  # not persisted

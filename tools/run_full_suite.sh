@@ -21,8 +21,10 @@ for f in tests/test_*.py; do
   out=$(python -m pytest "$f" -q "$@" 2>&1)
   rc=$?
   # rc=5 = "no tests collected": with deselection args (e.g. -m 'not slow')
-  # an all-slow file legitimately collects nothing — not a failure.
-  if [ $rc -eq 5 ]; then rc=0; fi
+  # an all-slow file legitimately collects nothing — not a failure. With
+  # NO extra args it stays a failure: a file collecting nothing in a full
+  # run means a collection regression, not deselection.
+  if [ $rc -eq 5 ] && [ $# -gt 0 ]; then rc=0; fi
   dt=$(( $(date +%s) - t0 ))
   line=$(echo "$out" | grep -E "passed|failed|error" | tail -1)
   summary+=("$f: rc=$rc ${dt}s  $line")
